@@ -1,0 +1,53 @@
+"""Benchmark runner: every registered query at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query wall seconds.
+
+Execution is forced with the noop sink (full computation, zero collect/IO
+cost on the result side), after one untimed warmup query to exclude JVM/
+session startup from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from job_datapipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from job_datapipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    # warmup: spin up executors / codegen paths, untimed
+    REGISTRY["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""job_datapipeline_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the capabilities of the public
+``Switchfools/job-datapipeline`` reference (a four-stage pandas/BS4 batch ETL:
+scrape -> clean -> aggregate -> serve), rebuilt Spark-first:
+
+- declarative DataFrame / Spark SQL plans (Catalyst optimizes; no hand
+  scheduling),
+- explicit ``StructType`` schemas everywhere (schema-on-write),
+- broadcast joins for every small dimension,
+- partitioned Parquet at rest,
+- Structured Streaming for the incremental-batch semantics the reference
+  implements with date-stamped files,
+- plus the large-scale training-data-pipeline surface (dedup, similarity
+  search, text analysis, multimodal columns).
+
+Layout:
+    session.py    SparkSession factory (AQE on, UTC, sane shuffle sizing)
+    schemas.py    explicit StructTypes (jobs table + testdata tables)
+    catalog.py    table loading / temp-view registration
+    functions/    column-expression libraries (cleaning, text, vectors)
+    operators/    composite DataFrame->DataFrame operators (topk, dedup, ...)
+    sources/      readers/sinks (parquet partitioning, html extraction, kv)
+    streaming/    Structured Streaming pipelines over the events table
+    plans/        the named query registry (Spark fn + DuckDB oracle SQL)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,166 @@
+"""Deduplication operators for a large-scale text corpus.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup —
+each a pure DataFrame function over a (id, text) or (id, embedding) input.
+
+Scale notes (the reason these shapes were chosen):
+- Exact dedup is a single hash-aggregate on a 32-byte fingerprint, not on the
+  full text — group keys stay small on the shuffle wire.
+- MinHash/LSH avoids the O(n^2) pair space: candidate pairs come from a
+  self-equi-join on (band_id, band_signature), which Spark executes as a
+  shuffle hash join on a compact key. Only candidates get exact verification.
+- All hashes are md5-based expressions (no Python, and an external SQL engine
+  can replay them bit-identically for the correctness oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokenize, word_ngrams
+from ..functions.vectors import cosine
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text fingerprint."""
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    return df.select(
+        "*", F.explode(F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min(md5(i || shingle)).
+
+    md5-of-seeded-shingle is a perfectly serviceable hash family for MinHash
+    and is reproducible in any engine with md5(). Output:
+    (id, seed, minhash) — long form, one row per (doc, hash function).
+    """
+    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(id_col, "shingle").select(
+        id_col,
+        seeds,
+        F.col("shingle"),
+    ).withColumn("h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))))
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_signature).
+
+    A pair of documents becomes a candidate if ANY band's concatenated
+    minhashes match exactly. Returns distinct (id_a < id_b) pairs.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", F.col("seed").cast("string"), F.col("minhash"))))).alias("band_sig"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    |A ∩ B| from a shingle self-join; |A| and |B| from per-doc distinct
+    counts; Jaccard = inter / (|A| + |B| - inter). The shingle join is the
+    scale risk — at 100 TB this runs AFTER LSH candidate generation, not on
+    the full corpus (see lsh_candidate_pairs); standalone it is correct for
+    moderate corpora.
+    """
+    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(id_col, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash: per token, md5 -> 64-bit int; per bit, sum(+1/-1) over tokens;
+    sign vector -> 64-bit fingerprint. Near-dups differ in few bits
+    (compare with ``bit_count(a ^ b)`` / hamming).
+
+    Expression-only: tokens explode, conv(md5-prefix) to bigint, bit tests via
+    shiftright+mod — no UDF.
+    """
+    toks = df.select(id_col, F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
+    h = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
+    bit_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits if bits <= 60 else 60)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_cols)
+    sig = F.lit(0).cast("bigint")
+    for i in range(min(bits, 60)):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force, id_a < id_b).
+
+    At 100 TB this is the verification stage after LSH/IVF bucketing
+    (see similarity.py); standalone it is O(n^2/2) and correct.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,104 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies:
+- brute_force_topk: exact cosine top-k. One broadcast of the (small) query
+  set against the corpus — a single codegen'd stage, no shuffle until the
+  final per-query top-k window. Baseline and verification path.
+- lsh_topk: random-hyperplane LSH bucketing (sign of dot with h fixed
+  deterministic hyperplanes = bucket key). Corpus and queries hash to
+  buckets; candidates = bucket collisions; exact cosine only on candidates.
+  At 100 TB the corpus side is pre-bucketed and written partitioned by
+  bucket, so a query touches only its bucket partitions.
+
+Hyperplanes are generated from a seeded deterministic stream (no RNG at plan
+time) so results are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Query set must be broadcastable."""
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cvec"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cos", F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            (u,) = struct.unpack(">I", h[off : off + 4])
+            vals.append((u / 2**31) - 1.0)  # uniform [-1, 1)
+            if len(vals) == dim:
+                break
+        i += 1
+    return vals
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """Sign-of-dot-product bucket key: a string of h bits."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(v) for v in p])
+        bits.append(F.when(dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact cosine ranking within the query's LSH bucket.
+
+    Recall < 1.0 by construction (that is the scale trade); verify recall
+    against brute_force_topk in tests.
+    """
+    planes = [_hyperplane(s, dim) for s in range(num_planes)]
+    c = corpus.select(corpus_id, F.col(vec_col).alias("_cvec")).withColumn(
+        "bucket", hyperplane_bucket(F.col("_cvec"), planes)
+    )
+    q = queries.select(query_id, F.col(vec_col).alias("_qvec")).withColumn(
+        "bucket", hyperplane_bucket(F.col("_qvec"), planes)
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cos", F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )

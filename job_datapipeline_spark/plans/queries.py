@@ -1,0 +1,832 @@
+"""The query registry — the engine's public, oracle-checked surface.
+
+Every operator family from SURVEY.md §2 (and the extended training-data
+surface) is exercised by at least one named query here. Each entry is:
+
+- ``fn(spark, sf_dir) -> DataFrame``: the Spark-first plan, and
+- ``oracle``: equivalent ANSI SQL for DuckDB over the same parquet views
+  (or None for genuinely non-SQL-expressible operators).
+
+Cross-engine determinism rules (applied in BOTH the Spark plan and oracle):
+- every computed column is aliased identically on both sides,
+- double aggregates are ``round(x, 2)`` (sums) / ``round(x, 4)`` (ratios) —
+  double accumulation order differs between engines; rounding absorbs it,
+- integer sums are cast to bigint in the oracle (DuckDB widens to HUGEINT),
+- top-k always carries a total tiebreak so the selected SET is deterministic,
+- md5 is the shared hash primitive (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.text import fingerprint, tokenize
+from ..functions.vectors import cosine
+from ..operators.topk import rank_pivot, top_k_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core: aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: scan -> partial agg -> final agg. "
+        "Maps reference A2/A3 grouped counting (populator.py:39-46) to a "
+        "hash aggregate with map-side combine.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style multi-join revenue rollup. The nation/region dims "
+        "broadcast (reference J2/J3 dict lookups -> broadcast hash joins).",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (SURVEY §2.4 extended surface) — subtotal rows "
+        "carry nulls in the rolled-up keys, identical in both engines.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over orders.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Multi distinct-aggregate (expand + two-phase agg under the hood).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "argmax_latest_event",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type, ts) AS last_event_type,
+           round(max_by(value, ts), 2) AS last_value,
+           max(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="S7 'newest object only' semantics (populator.py:15,22 argmax by "
+        "LastModified) as max_by per key — no sort, single hash agg.",
+)
+def argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.round(F.max_by("value", "ts"), 2).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core: joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="Left outer join + agg; customers with zero orders kept (J4 'None "
+        "when absent' lookup semantics, main.py:177-180).",
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="Left anti join (reference's 'already-scraped URL' dedup pattern, "
+        "SURVEY §2.7 U3 persistent form).",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_semi_parts_shipped",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    """,
+    doc="Left semi join (J6 token-in-skills semantics, populator.py:44).",
+)
+def join_semi_parts_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+@register(
+    "join_full_outer_nation_stats",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    doc="Full outer join of two aggregates.",
+)
+def join_full_outer_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    s = table(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r_name, o_orderstatus, count(*) AS n
+    FROM region CROSS JOIN orders
+    GROUP BY r_name, o_orderstatus
+    """,
+    doc="Cross join (J1 search_terms x locations URL generation, "
+        "main.py:32-38) — small side broadcast, never shuffled.",
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    o = table(spark, sf_dir, "orders")
+    return F.broadcast(r).crossJoin(o).groupBy("r_name", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "join_range_price_band",
+    oracle="""
+    SELECT b.band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 200000.0), ('high', 200000.0, 1e18))
+         AS b(band, lo, hi)
+      ON o_totalprice >= b.lo AND o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+    doc="Non-equi (range) join against a literal band dim — broadcast nested "
+        "loop; SURVEY §2.3 'range join free in Spark'.",
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bands = o.sparkSession.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(F.broadcast(bands), (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / ranking / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+    doc="Running sum per customer (cumulative frame).",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead over a deterministic per-customer order timeline.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg_3
+    FROM events
+    """,
+    doc="3-row moving average per user over the event stream (batch form of "
+        "the sliding-window streaming agg).",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, Window.currentRow)
+    return ev.select("user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("mov_avg_3"))
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+    WHERE rank <= 3
+    """,
+    doc="Grouped top-k with deterministic tiebreak (the W1 fix: "
+        "Counter.most_common ties are insertion-ordered in the reference; "
+        "here ties break on the key, populator.py:45).",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order_col="o_totalprice",
+        k=3,
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# The reference's flagship: top-10 skills per group (populator stage)
+# ---------------------------------------------------------------------------
+
+# A fixed skills vocabulary, playing the role of the reference's 64-term
+# skills.json list (data_populator/skills.json:1-16) over the documents table.
+SKILLS_VOCAB = (
+    "spark", "join", "sort", "merge", "filter", "window", "hash", "scan",
+    "agg", "stream", "vector", "query", "batch", "column", "row", "table",
+    "key", "data", "group", "order",
+)
+
+
+def _doc_skill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(tokenize) -> semi-join skills -> groupBy count: the populator
+    pipeline (populator.py:39-46) as one declarative plan. The skills dim is
+    a broadcast literal; the count is a two-phase hash agg."""
+    docs = table(spark, sf_dir, "documents")
+    skills = spark.createDataFrame([(s,) for s in SKILLS_VOCAB], "token string")
+    toks = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("token"))
+    return (
+        toks.join(F.broadcast(skills), "token", "left_semi")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_SKILLS_IN = ", ".join(f"'{s}'" for s in SKILLS_VOCAB)
+
+_TOP_SKILLS_ORACLE = f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT lang, token, count(*) AS cnt
+        FROM toks WHERE token IN ({_SKILLS_IN})
+        GROUP BY lang, token
+    ),
+    ranked AS (
+        SELECT lang, token, cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+        FROM cnt
+    )
+    SELECT lang, rank, token, cnt FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "top_skills_by_lang",
+    oracle=_TOP_SKILLS_ORACLE,
+    doc="FLAGSHIP — the populator query end-to-end (populator.py:39-46): "
+        "tokenize -> semi-join skills vocab -> grouped count -> "
+        "deterministic top-10 per group. Touches explode/semi-join/agg/"
+        "window in one plan.",
+)
+def top_skills_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _doc_skill_counts(spark, sf_dir)
+    ranked = top_k_per_group(
+        counts, group_cols=["lang"], order_col="cnt", k=10, tiebreak_cols=["token"]
+    )
+    return ranked.select("lang", "rank", "token", "cnt")
+
+
+@register(
+    "top_skills_pivot",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT lang, token, count(*) AS cnt
+        FROM toks WHERE token IN ({_SKILLS_IN})
+        GROUP BY lang, token
+    ),
+    ranked AS (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+        FROM cnt
+    )
+    SELECT lang,
+           {", ".join(f"min(CASE WHEN rank = {i} THEN token END) AS top_skill_n_{i}" for i in range(1, 11))}
+    FROM ranked GROUP BY lang
+    """,
+    doc="W2 rank->column pivot (populator.py:55-58): the Top_10_skills "
+        "serving-table shape, columns top_skill_n_1..10.",
+)
+def top_skills_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _doc_skill_counts(spark, sf_dir)
+    ranked = top_k_per_group(
+        counts, group_cols=["lang"], order_col="cnt", k=10, tiebreak_cols=["token"]
+    )
+    return rank_pivot(ranked, key_cols=["lang"], rank_col="rank", value_col="token", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct / dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "setops_segments",
+    oracle="""
+    SELECT 'union' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+    doc="UNION / INTERSECT / EXCEPT (SURVEY §2.7; U1 union-all, U2 distinct).",
+)
+def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    sess = spark
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union", a.union(b).distinct())
+        .unionByName(one("intersect", a.intersect(b)))
+        .unionByName(one("except", a.exceptAll(b.distinct()).distinct()))
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_check,
+           min(doc_id) AS doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup by normalized-text md5 fingerprint — keep lowest id "
+        "(U2/U3 dedup semantics, page.py:51, listing.py:188).",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp_check", fingerprint(F.col("text")))
+        .groupBy("fp_check")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_ops",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 5) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+    doc="String scalar surface (F1/F2/F9/F14 analogues).",
+)
+def scalar_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "scalar_date_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           date_trunc('day', o_orderdate) AS order_day,
+           strftime(o_orderdate, '%d-%m-%Y') AS stamped
+    FROM orders
+    """,
+    doc="Date scalar surface incl. the reference's dd-MM-yyyy run-date stamp "
+        "(F10, cleaner.py:143, main.py:121-123).",
+)
+def scalar_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_trunc("day", F.col("o_orderdate")).cast("timestamp_ntz").alias("order_day"),
+        F.date_format("o_orderdate", "dd-MM-yyyy").alias("stamped"),
+    )
+
+
+@register(
+    "scalar_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field access (F15, cleaner.py:103 / events.props) + agg.",
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "scalar_case_null",
+    oracle="""
+    SELECT CASE WHEN c_acctbal IS NULL THEN 'missing'
+                WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           count(*) AS n,
+           round(sum(coalesce(c_acctbal, 0.0)), 2) AS sum_bal
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="CASE WHEN banding + null handling (P4/P5 sentinel semantics).",
+)
+def scalar_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal").isNull(), "missing")
+        .when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return c.groupBy(band.alias("bal_band")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.coalesce("c_acctbal", F.lit(0.0))), 2).alias("sum_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits
+# ---------------------------------------------------------------------------
+
+@register(
+    "orderby_limit_top_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 10
+    """,
+    doc="Global top-N (O2/O3): TakeOrderedAndProject, no full sort at scale.",
+)
+def orderby_limit_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-equivalent batch shapes over events
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregate — the batch twin of the Structured "
+        "Streaming pipeline in streaming/ (same plan modulo source).",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30-min inactivity gap) via gaps-and-islands — batch "
+        "twin of F.session_window in streaming mode.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("session_id", F.sum("is_new").over(w2).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+             SELECT q.q_id, e.vec_id,
+                    round(list_dot_product(e.embedding, q.qv) /
+                          (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                           sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id != q.q_id
+         )
+    SELECT q_id, vec_id, cos, rank FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 neighbors for 5 query vectors — the exact "
+        "ANN baseline; corpus scan is one broadcast-joined codegen stage.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(cosine(F.col("embedding"), F.col("qv")), 4))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cos", "rank")
+    )

@@ -1,0 +1,69 @@
+"""Shared oracle-diff harness: run a Spark plan and a DuckDB oracle over the
+same parquet tables and compare row count, schema kind, and order-insensitive
+values (columns sorted by name, rows sorted by all columns) — the same
+contract the external correctness gate applies."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from .catalog import TABLE_NAMES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: None if v is None or (isinstance(v, float) and np.isnan(v)) else v
+            )
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Return a list of human-readable diffs; empty list == match."""
+    problems: list[str] = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    scol, ocol = sorted(sdf.columns), sorted(odf.columns)
+    if scol != ocol:
+        problems.append(f"columns spark={scol} oracle={ocol}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            svn = pd.to_numeric(sv, errors="coerce")
+            ovn = pd.to_numeric(ov, errors="coerce")
+            eq = (svn == ovn) | (svn.isna() & ovn.isna())
+            ne = int((~eq).sum())
+            if ne:
+                idx = (~eq).idxmax()
+                problems.append(f"col {c}: {ne} float mismatches e.g. {svn[idx]!r} vs {ovn[idx]!r}")
+        else:
+            sv2, ov2 = sv.astype(str), ov.astype(str)
+            ne = int((sv2 != ov2).sum())
+            if ne:
+                idx = (sv2 != ov2).idxmax()
+                problems.append(f"col {c}: {ne} mismatches e.g. {sv2[idx]!r} vs {ov2[idx]!r}")
+    for c in s.columns:
+        skind, okind = s[c].dtype.kind, o[c].dtype.kind
+        if skind != okind and {skind, okind} != {"i", "f"}:
+            problems.append(f"col {c}: dtype kind spark={s[c].dtype} oracle={o[c].dtype}")
+    return problems

@@ -1,0 +1,119 @@
+"""Unit + property tests for the cleaner parsers (SURVEY §2.8 F4-F8, §5.2) —
+the reference's highest-risk string logic (data-cleaner/cleaner.py:42-106)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.functions import cleaning as C
+
+
+def _one(spark, expr, value: str | None):
+    row = spark.createDataFrame([(value,)], "v string").select(expr(F.col("v")).alias("out")).first()
+    return row["out"]
+
+
+def _pair(spark, expr, value: str | None):
+    lo, hi = expr(F.col("v"))
+    row = spark.createDataFrame([(value,)], "v string").select(lo.alias("lo"), hi.alias("hi")).first()
+    return row["lo"], row["hi"]
+
+
+def test_company_size_range(spark):
+    assert _pair(spark, C.parse_company_size, "1001 to 5000 Employees") == (1001, 5000)
+
+
+def test_company_size_plus(spark):
+    # '10000+ Employees' -> (10000, 10000), cleaner.py:98
+    assert _pair(spark, C.parse_company_size, "10000+ Employees") == (10000, 10000)
+
+
+def test_company_size_garbage_is_null(spark):
+    assert _pair(spark, C.parse_company_size, "Unknown") == (None, None)
+
+
+def test_salary_range_gbp(spark):
+    lo, hi = _pair(spark, lambda c: C.parse_salary_bounds(c), "£25,000 - £35,000 (Employer Est.)")
+    assert (lo, hi) == (25000, 35000)
+
+
+def test_salary_single_value_min_eq_max(spark):
+    # single value => min == max (cleaner.py:53,72 [0] vs [-1])
+    lo, hi = _pair(spark, lambda c: C.parse_salary_bounds(c), "$55,000 (Employer Est.)")
+    assert (lo, hi) == (55000, 55000)
+
+
+def test_salary_per_hour_annualized(spark):
+    # 8 h/day * 261 workdays (cleaner.py:56-58): $20/h -> 41760
+    lo, hi = _pair(spark, lambda c: C.parse_salary_bounds(c), "$20 Per Hour (Employer Est.)")
+    assert (lo, hi) == (20 * 8 * 261, 20 * 8 * 261)
+
+
+def test_salary_k_suffix(spark):
+    lo, hi = _pair(spark, lambda c: C.parse_salary_bounds(c), "$25K - $35K (Employer Est.)")
+    assert (lo, hi) == (25000, 35000)
+
+
+def test_salary_currency_symbols(spark):
+    assert _one(spark, C.salary_currency, "£25,000") == "GBP"
+    assert _one(spark, C.salary_currency, "€30,000 - €40,000") == "EUR"
+    assert _one(spark, C.salary_currency, "$55,000") == "USD"
+    assert _one(spark, C.salary_currency, "55,000") == "USD"  # no symbol -> USD
+
+
+def test_rating_split(spark):
+    name, rating = C.split_rating_from_name(F.col("v"))
+    row = (
+        spark.createDataFrame([("Acme 4.5★",), ("NoRating Inc",)], "v string")
+        .select(name.alias("n"), rating.alias("r"))
+        .collect()
+    )
+    assert (row[0]["n"], row[0]["r"]) == ("Acme ", 4.5)
+    assert (row[1]["n"], row[1]["r"]) == ("NoRating Inc", None)
+
+
+def test_na_sentinels(spark):
+    vals = ["N/A", "", "Unknown", "unknown", "real value"]
+    out = (
+        spark.createDataFrame([(v,) for v in vals], "v string")
+        .select(C.na_to_null(F.col("v")).alias("out"))
+        .collect()
+    )
+    assert [r["out"] for r in out] == [None, None, None, None, "real value"]
+
+
+def test_normalize_url(spark):
+    assert _one(spark, C.normalize_url, "example.com/x") == "https://example.com/x"
+    assert _one(spark, C.normalize_url, "http://example.com") == "http://example.com"
+    assert _one(spark, C.normalize_url, "https://example.com") == "https://example.com"
+
+
+def test_strip_digits(spark):
+    assert _one(spark, C.strip_digits, "7,764 Jobs") == "7764"
+
+
+def test_job_position_from_filename(spark):
+    got = _one(spark, C.job_position_from_filename, "s3://b/17-08-2021data-scientist-remote.csv")
+    assert got == "data scientist"
+
+
+def test_deterministic_job_id_stable(spark):
+    a = _one(spark, C.deterministic_job_id, "data scientist")
+    b = _one(spark, C.deterministic_job_id, "data scientist")
+    c = _one(spark, C.deterministic_job_id, "data engineer")
+    assert a == b and a != c and len(a) == 32
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    lo=st.integers(min_value=1, max_value=400_000),
+    hi=st.integers(min_value=1, max_value=400_000),
+    sym=st.sampled_from(["£", "$", "€", ""]),
+)
+def test_salary_range_property(spark, lo, hi, sym):
+    """Any '<sym>L - <sym>H' range parses to (L, H)."""
+    raw = f"{sym}{lo:,} - {sym}{hi:,}"
+    got_lo, got_hi = _pair(spark, lambda c: C.parse_salary_bounds(c), raw)
+    assert (got_lo, got_hi) == (lo, hi)

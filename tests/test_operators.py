@@ -1,0 +1,123 @@
+"""Unit tests for composite operators: top-k determinism, pivot shape,
+dedup (exact / minhash-LSH / jaccard / simhash / embedding), similarity
+(brute force vs LSH recall), vector math."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.catalog import table
+from job_datapipeline_spark.functions.vectors import cosine, dot, l2_distance
+from job_datapipeline_spark.operators import dedup, similarity
+from job_datapipeline_spark.operators.topk import rank_pivot, top_k_per_group
+
+
+def test_topk_deterministic_ties(spark):
+    # two rows tie on the order col; tiebreak col must decide, repeatably
+    df = spark.createDataFrame(
+        [("g", "b", 5), ("g", "a", 5), ("g", "c", 4)], "grp string, tok string, cnt int"
+    )
+    for _ in range(3):
+        rows = top_k_per_group(df, ["grp"], "cnt", 2, tiebreak_cols=["tok"]).collect()
+        got = [(r["tok"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == [("a", 1), ("b", 2)]
+
+
+def test_rank_pivot_shape(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, "x"), ("g1", 2, "y"), ("g2", 1, "z")], "grp string, rank int, tok string"
+    )
+    out = rank_pivot(df, ["grp"], "rank", "tok", k=3)
+    assert out.columns == ["grp", "top_skill_n_1", "top_skill_n_2", "top_skill_n_3"]
+    rows = {r["grp"]: r for r in out.collect()}
+    assert rows["g1"]["top_skill_n_1"] == "x" and rows["g1"]["top_skill_n_2"] == "y"
+    assert rows["g2"]["top_skill_n_1"] == "z" and rows["g2"]["top_skill_n_3"] is None
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.exact_dedup(df).collect()}
+    # 1 and 2 collapse (case+whitespace normalized); min id 1 kept
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated text about spark query engines and shuffles everywhere"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=16)
+    assert sigs.count() == 3 * 16
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")], "doc_id long, text string"
+    )
+    rows = dedup.jaccard_pairs(df, shingle_n=3, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    base = "spark makes distributed data processing declarative and fast " * 3
+    near = base + "extra"
+    far = "unrelated words entirely different content zebra quantum pickle"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(sig[1], sig[2]) < hamming(sig[1], sig[3])
+
+
+def test_embedding_near_dups_and_self_similarity(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").limit(50)
+    dup = emb.select(F.col("vec_id") + 1000, F.col("embedding"), F.col("label"))
+    both = emb.union(dup)
+    pairs = dedup.embedding_near_dups(both, threshold=0.999999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every vector and its copy must pair up
+    expect = {(r["vec_id"], r["vec_id"] + 1000) for r in emb.select("vec_id").collect()}
+    assert expect <= got
+
+
+def test_vector_math_matches_python(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        cosine(F.col("a"), F.col("b")).alias("cos"),
+        l2_distance(F.col("a"), F.col("b")).alias("l2"),
+    ).first()
+    assert row["dot"] == 32.0
+    exp_cos = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(row["cos"] - exp_cos) < 1e-12
+    assert abs(row["l2"] - math.sqrt(27)) < 1e-12
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5, num_planes=4, dim=64)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 planes -> 16 buckets over 500 vectors; self-match always recalled,
+    # neighbors usually. Loose bound: recall must beat random bucketing.
+    assert recall >= 0.3, f"LSH recall {recall:.2f} suspiciously low"
+    # and the exact path must rank each query's own vector first
+    firsts = {r["q_id"]: r["vec_id"] for r in exact.collect() if r["rank"] == 1}
+    assert all(q == v for q, v in firsts.items())
