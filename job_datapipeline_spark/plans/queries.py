@@ -830,3 +830,281 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaner-stage parser semantics (data-cleaner/cleaner.py) — exercised over
+# literal inputs with golden-value oracles (the expected outputs are part of
+# the spec; the oracle encodes them as a VALUES table).
+# ---------------------------------------------------------------------------
+
+from ..functions import cleaning as _C  # noqa: E402
+from ..pipelines.cleaner import clean_jobs as _clean_jobs  # noqa: E402
+from ..pipelines.cleaner import exchange_rates_dim as _rates_dim  # noqa: E402
+from ..pipelines.populator import skills_dim as _skills_dim  # noqa: E402
+from ..pipelines.populator import top_skills as _top_skills  # noqa: E402
+
+_SALARY_CASES = [
+    ("£25,000 - £35,000 (Employer Est.)", "GBP", 25000, 35000),
+    ("$55,000 (Employer Est.)", "USD", 55000, 55000),
+    ("$20 Per Hour (Employer Est.)", "USD", 41760, 41760),
+    ("€30,000 - €40,000", "EUR", 30000, 40000),
+    ("$25K - $35K (Employer Est.)", "USD", 25000, 35000),
+    ("CHF 90,000 - CHF 110,000", "CHF", 90000, 110000),
+]
+
+
+@register(
+    "cleaner_salary_parse",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{s}', '{cur}', {lo}, {hi})" for s, cur, lo, hi in _SALARY_CASES)
+    + ") AS t(salary, currency, min_salary, max_salary)",
+    doc="F6 salary parser (cleaner.py:42-79): currency prefix -> ISO, strip "
+        "annotations, split range, annualize Per-Hour by 8h*261d; golden "
+        "oracle holds the reference-spec outputs.",
+)
+def cleaner_salary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(s,) for s, *_ in _SALARY_CASES], "salary string")
+    lo, hi = _C.parse_salary_bounds(F.col("salary"))
+    return df.select(
+        "salary",
+        _C.salary_currency(F.col("salary")).alias("currency"),
+        lo.alias("min_salary"),
+        hi.alias("max_salary"),
+    )
+
+
+_SIZE_CASES = [
+    ("1001 to 5000 Employees", 1001, 5000),
+    ("10000+ Employees", 10000, 10000),
+    ("51 to 200 Employees", 51, 200),
+    ("Unknown", None, None),
+]
+
+
+@register(
+    "cleaner_company_size",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{s}', {lo if lo is not None else 'NULL'}, {hi if hi is not None else 'NULL'})"
+        for s, lo, hi in _SIZE_CASES
+    )
+    + ") AS t(company_size, size_min, size_max)",
+    doc="F5 company-size parser (cleaner.py:97-100): 'A to B Employees' -> "
+        "(A,B); 'N+ Employees' -> (N,N); unparseable -> nulls.",
+)
+def cleaner_company_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(s,) for s, *_ in _SIZE_CASES], "company_size string")
+    lo, hi = _C.parse_company_size(F.col("company_size"))
+    return df.select("company_size", lo.alias("size_min"), hi.alias("size_max"))
+
+
+@register(
+    "cleaner_scalar_ops",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('example.com/a', 'https://example.com/a', '7,764 Jobs', '7764',
+         '17-08-2021data-scientist-remote.csv', 'data scientist'),
+        ('http://x.io', 'http://x.io', 'Page 1 of 30', '130',
+         '31-08-2021data-engineer-all.csv', 'data engineer')
+    ) AS t(url, url_norm, counter, digits, filename, job_position)
+    """,
+    doc="S2 url normalizer (common.py:10-13), F8 digit strip (page.py:28), "
+        "S6 filename->job_position (cleaner.py:10-14,27).",
+)
+def cleaner_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("example.com/a", "7,764 Jobs", "17-08-2021data-scientist-remote.csv"),
+        ("http://x.io", "Page 1 of 30", "31-08-2021data-engineer-all.csv"),
+    ]
+    df = spark.createDataFrame(rows, "url string, counter string, filename string")
+    return df.select(
+        "url",
+        _C.normalize_url(F.col("url")).alias("url_norm"),
+        "counter",
+        _C.strip_digits(F.col("counter")).alias("digits"),
+        "filename",
+        _C.job_position_from_filename(F.col("filename")).alias("job_position"),
+    )
+
+
+_JOBS_ROWS = [
+    # company_name, rating, salary, size
+    ("acme analytics 4.5★", None, "£25,000 - £35,000 (Employer Est.)", "1001 to 5000 Employees"),
+    ("data corp", 3.9, "$55,000 (Employer Est.)", "10000+ Employees"),
+    (None, 4.0, "$60,000", "51 to 200 Employees"),  # dropped by P1
+    ("tiny shop", None, "$20 Per Hour (Employer Est.)", "Unknown"),
+]
+
+
+@register(
+    "cleaner_full_stage",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('Acme Analytics ', 4.5, 'GBP', 31250, 43750, 1001, 5000),
+        ('Data Corp', 3.9, 'USD', 55000, 55000, 10000, 10000),
+        ('Tiny Shop', NULL, 'USD', 41760, 41760, NULL, NULL)
+    ) AS t(company_name, company_rating, currency,
+           min_estimated_salary, max_estimated_salary,
+           company_size_min, company_size_max)
+    """,
+    doc="The full clean stage end-to-end (cleaner.py:81-116): null filter, "
+        "rating split (note the reference keeps the trailing space: "
+        "name[:-4] strips '4.5★' but not the separator), initcap intent, "
+        "size parse, salary parse + FX broadcast join (GBP rate 0.8 -> "
+        "25000/0.8=31250).",
+)
+def cleaner_full_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jobs = spark.createDataFrame(
+        _JOBS_ROWS,
+        "company_name string, company_rating double, "
+        "company_estimated_salary string, company_size string",
+    )
+    rates = _rates_dim(spark, {"USD": 1.0, "GBP": 0.8, "EUR": 0.9})
+    cleaned = _clean_jobs(jobs, rates)
+    return cleaned.select(
+        "company_name",
+        "company_rating",
+        "currency",
+        "min_estimated_salary",
+        "max_estimated_salary",
+        "company_size_min",
+        "company_size_max",
+    )
+
+
+@register(
+    "populator_top_skills_kv",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang AS job, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT job, token, count(*) AS cnt FROM toks
+        WHERE token IN ({_SKILLS_IN}) GROUP BY job, token
+    ),
+    ranked AS (
+        SELECT job, token,
+               row_number() OVER (PARTITION BY job ORDER BY cnt DESC, token) AS rank
+        FROM cnt
+    )
+    SELECT substring(sha256(job), 1, 32) AS job_id,
+           {", ".join(f"min(CASE WHEN rank = {i} THEN token END) AS top_skill_n_{i}" for i in range(1, 11))}
+    FROM ranked WHERE rank <= 10 GROUP BY job
+    """,
+    doc="Populator end state (populator.py:47-58): Top_10_skills serving "
+        "table keyed by the deterministic job_id (sha2-256/32, the engine's "
+        "replacement for uuid5 at populator.py:53).",
+)
+def populator_top_skills_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    skills = _skills_dim(spark, SKILLS_VOCAB)
+    _jobs_kv, pivoted = _top_skills(docs, skills, group_col="lang", text_col="text", k=10)
+    return pivoted
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis surface over documents
+# ---------------------------------------------------------------------------
+
+from ..functions import text as _T  # noqa: E402
+
+_STOPWORDS_IN = ", ".join(f"'{w}'" for w in _T.STOPWORDS_EN)
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    """,
+    doc="Token counting + md5 document fingerprint per doc — the cheap "
+        "text-quality signals, all expression-level.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _T.token_count(F.col("text")).alias("n_tokens"),
+        _T.fingerprint(F.col("text")).alias("fp"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_IN}))) AS DOUBLE)
+                 / len(toks), 4) AS stop_ratio,
+           round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio
+    FROM t
+    """,
+    doc="Quality-score components per doc: stopword ratio + punctuation "
+        "ratio (usable as pushed-down corpus filters).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _T.tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(_T.stopword_ratio(toks), 4).alias("stop_ratio"),
+        F.round(_T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+    )
+
+
+_LANGID_SQL_SCORES = []
+for _code in sorted(_T.LANG_MARKERS):
+    _marks = ", ".join(f"'{w}'" for w in _T.LANG_MARKERS[_code])
+    _LANGID_SQL_SCORES.append(
+        f"len(list_filter(toks, x -> x IN ({_marks}))) AS hits_{_code}"
+    )
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, {", ".join(_LANGID_SQL_SCORES)}
+        FROM t
+    ),
+    best AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+                 WHEN hits_de >= greatest(hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+                 WHEN hits_en >= greatest(hits_es, hits_fr, hits_zh) THEN 'en'
+                 WHEN hits_es >= greatest(hits_fr, hits_zh) THEN 'es'
+                 WHEN hits_fr >= hits_zh THEN 'fr'
+                 ELSE 'zh'
+               END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM best GROUP BY lang, predicted
+    """,
+    doc="Language-ID heuristic (marker-word argmax, ties -> language code "
+        "asc) bucketed against the labeled lang column — the confusion "
+        "matrix of the classifier.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", _T.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
