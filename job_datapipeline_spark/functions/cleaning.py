@@ -150,6 +150,25 @@ def deterministic_job_id(job: Column) -> Column:
 
     The reference uses uuid5(NAMESPACE_DNS, job); we use sha2-256 truncated to
     32 hex chars — equally deterministic and collision-safe, computed JVM-side
-    (no Python UDF). A uuid5-exact UDF exists in tests for byte-compat checks.
+    (no Python UDF). When byte-level compatibility with the reference's keys
+    matters, use :func:`uuid5_job_id` instead.
     """
     return F.substring(F.sha2(job, 256), 1, 32)
+
+
+def uuid5_job_id(job: Column) -> Column:
+    """F13 byte-compat form: ``uuid5(NAMESPACE_DNS, job)`` exactly as the
+    reference computes its DynamoDB key (populator.py:53).
+
+    This is a row-at-a-time Python UDF — deliberately NOT the hot path
+    (``deterministic_job_id`` is the JVM-side scale form). It exists for
+    migrations that must reproduce the reference's existing keys byte-for-byte;
+    it is deterministic, so Catalyst may still push/prune around it.
+    """
+    import uuid
+
+    @F.udf("string")
+    def _uuid5(name):
+        return None if name is None else str(uuid.uuid5(uuid.NAMESPACE_DNS, name))
+
+    return _uuid5(job)

@@ -33,10 +33,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
-    return df.select(
-        "*", F.explode(F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))).alias("shingle")
-    )
+    """Distinct word n-gram shingles per document.
+
+    Documents shorter than ``n`` tokens fall back to a single whole-document
+    shingle (all tokens joined), so short docs still get signatures / LSH
+    coverage instead of silently vanishing from the pair space.
+    """
+    toks = tokenize(F.col(text_col))
+    grams = word_ngrams(toks, n)
+    with_fallback = F.when(F.size(grams) > 0, grams).otherwise(F.array(F.array_join(toks, " ")))
+    return df.select("*", F.explode(F.array_distinct(with_fallback)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -124,23 +130,30 @@ def jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """SimHash: per token, md5 -> 64-bit int; per bit, sum(+1/-1) over tokens;
-    sign vector -> 64-bit fingerprint. Near-dups differ in few bits
-    (compare with ``bit_count(a ^ b)`` / hamming).
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash: per token, md5 -> ``bits``-bit int; per bit, sum(+1/-1) over
+    tokens; sign vector -> ``bits``-bit fingerprint. Near-dups differ in few
+    bits (compare with ``bit_count(a ^ b)`` / hamming).
+
+    ``bits`` is capped at 60 because the hash value is carried as the first
+    15 hex chars of md5 in a signed bigint; asking for more raises rather
+    than silently truncating.
 
     Expression-only: tokens explode, conv(md5-prefix) to bigint, bit tests via
     shiftright+mod — no UDF.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] (got {bits}); the signature "
+                         "is assembled from a 15-hex-char md5 prefix in a signed bigint")
     toks = df.select(id_col, F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
     h = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
     bit_cols = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(bits if bits <= 60 else 60)
+        for i in range(bits)
     ]
     agg = h.groupBy(id_col).agg(*bit_cols)
     sig = F.lit(0).cast("bigint")
-    for i in range(min(bits, 60)):
+    for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return agg.select(id_col, sig.alias("simhash"))
 

@@ -63,12 +63,27 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
 
 
 def hyperplane_bucket(vec_col, planes: list[list[float]]):
-    """Sign-of-dot-product bucket key: a string of h bits."""
+    """Sign-of-dot-product bucket key: a string of h bits.
+
+    Fails loudly (raise_error in the expression path, so it cannot be pruned
+    away) when the embedding length differs from the hyperplane dimension —
+    a silent mismatch would null out every dot product and collapse all
+    vectors into one bucket, i.e. a full scan masquerading as an index.
+    """
+    dim = len(planes[0])
     bits = []
     for p in planes:
         plane = F.array(*[F.lit(v) for v in p])
         bits.append(F.when(dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return F.when(F.size(vec_col) == dim, F.concat(*bits)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh bucket: embedding dim mismatch (expected {dim}, got "),
+                F.size(vec_col).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
 
 
 def lsh_topk(

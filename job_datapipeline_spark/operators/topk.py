@@ -63,7 +63,7 @@ def rank_pivot(
         .pivot(rank_col, list(range(1, k + 1)))
         .agg(F.first(value_col))
     )
-    renames = {str(i): f"{col_prefix}{i}" for i in range(1, k + 1)}
-    for old, new in renames.items():
-        pivoted = pivoted.withColumnRenamed(old, new)
-    return pivoted
+    return pivoted.select(
+        *key_cols,
+        *[F.col(f"`{i}`").alias(f"{col_prefix}{i}") for i in range(1, k + 1)],
+    )

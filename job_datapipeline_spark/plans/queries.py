@@ -245,8 +245,8 @@ def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_mktsegment
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     doc="Left anti join (reference's 'already-scraped URL' dedup pattern, "
         "SURVEY §2.7 U3 persistent form).",
@@ -557,7 +557,6 @@ def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
     b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
-    sess = spark
 
     def one(op: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
@@ -1017,7 +1016,9 @@ _STOPWORDS_IN = ", ".join(f"'{w}'" for w in _T.STOPWORDS_EN)
     "text_stats",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+                END AS BIGINT) AS n_tokens,
            md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
            CAST(length(text) AS BIGINT) AS text_len
     FROM documents
@@ -1044,10 +1045,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_IN}))) AS DOUBLE)
-                 / len(toks), 4) AS stop_ratio,
-           round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
-                 / length(text), 4) AS punct_ratio
+           coalesce(round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_IN}))) AS DOUBLE)
+                 / nullif(len(toks), 0), 4), 0.0) AS stop_ratio,
+           coalesce(round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                 / nullif(length(text), 0), 4), 0.0) AS punct_ratio
     FROM t
     """,
     doc="Quality-score components per doc: stopword ratio + punctuation "

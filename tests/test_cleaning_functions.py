@@ -117,3 +117,23 @@ def test_salary_range_property(spark, lo, hi, sym):
     raw = f"{sym}{lo:,} - {sym}{hi:,}"
     got_lo, got_hi = _pair(spark, lambda c: C.parse_salary_bounds(c), raw)
     assert (got_lo, got_hi) == (lo, hi)
+
+
+def test_uuid5_job_id_byte_compat(spark):
+    """The uuid5 UDF must reproduce uuid5(NAMESPACE_DNS, name) byte-for-byte
+    (the reference's DynamoDB key, populator.py:53)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    names = ["data scientist", "data engineer", "machine-learning engineer"]
+    df = spark.createDataFrame([(n,) for n in names], "job string")
+    got = {
+        r["job"]: r["jid"]
+        for r in df.select("job", C.uuid5_job_id(F.col("job")).alias("jid")).collect()
+    }
+    for n in names:
+        assert got[n] == str(uuid.uuid5(uuid.NAMESPACE_DNS, n))
+    # null-safe
+    df2 = spark.createDataFrame([(None,)], "job string")
+    assert df2.select(C.uuid5_job_id(F.col("job")).alias("jid")).first()["jid"] is None

@@ -121,3 +121,39 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     # and the exact path must rank each query's own vector first
     firsts = {r["q_id"]: r["vec_id"] for r in exact.collect() if r["rank"] == 1}
     assert all(q == v for q, v in firsts.items())
+
+
+def test_simhash_rejects_dishonest_bit_widths(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash(df, bits=64)
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash(df, bits=0)
+    # the honest maximum works
+    assert dedup.simhash(df, bits=60).count() == 1
+
+
+def test_minhash_covers_short_docs(spark):
+    # doc 2 has fewer tokens than shingle_n=3: whole-doc fallback shingle
+    # must keep it in the signature/pair space (no silent coverage hole)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=8)
+    assert sigs.select("doc_id").distinct().count() == 3
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sigs, bands=2).collect()}
+    assert (2, 3) in pairs  # identical short docs must collide
+
+
+def test_lsh_topk_dim_mismatch_fails_loudly(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame([(9, [1.0, 2.0, 3.0])], "q_id long, embedding array<double>")
+    with pytest.raises(Exception, match="dim mismatch"):
+        similarity.lsh_topk(df, q, k=1, num_planes=2, dim=64).collect()
