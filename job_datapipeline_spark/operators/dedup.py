@@ -130,6 +130,77 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate-pair list (id_a, id_b).
+
+    Candidate-driven join order — pairs ⋈ shingles(id_a) ⋈ shingles(id_b) —
+    so the cost is O(candidates x shingles-per-doc), never the O(n^2) full
+    shingle self-join. This is the verification stage near_dedup runs after
+    LSH candidate generation.
+    """
+    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(id_col, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The composed scale-safe near-dedup pipeline:
+
+        MinHash signatures -> LSH banding (candidate pairs)
+        -> exact Jaccard verify on candidates only
+        -> keep-list (drop any doc with a verified dup of smaller id).
+
+    Returns the surviving rows of ``df``. Greedy pairwise keep-lowest-id
+    semantics (NOT transitive closure — a connected-components pass would be
+    iterative and is deliberately out of this one-shot plan; for chains
+    a~b~c with a!~c, both a and c survive).
+
+    Every stage is bounded: signatures are O(docs x hashes), the banded
+    self-join keys are compact (band, band_sig) strings, and verification
+    touches candidate pairs only — nothing in the plan is O(n^2) in the
+    corpus size.
+    """
+    rows_per_band = max(num_hashes // bands, 1)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    verified = jaccard_verify(df, cands, text_col, id_col, shingle_n)
+    drops = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """SimHash: per token, md5 -> ``bits``-bit int; per bit, sum(+1/-1) over
     tokens; sign vector -> ``bits``-bit fingerprint. Near-dups differ in few

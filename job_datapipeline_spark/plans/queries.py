@@ -1109,3 +1109,283 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection suite — MinHash / LSH / Jaccard / SimHash, each
+# replayed exactly in SQL (md5 is the shared hash primitive). Candidates and
+# dedup run over a corpus with deterministically PLANTED duplicates (an exact
+# copy and a 3-token-appended near copy per doc, ids offset by 1e5/2e5) so
+# the pair space is non-trivial: the raw documents table has no dup texts.
+# ---------------------------------------------------------------------------
+
+from ..operators import dedup as _D  # noqa: E402
+
+_NDD_HASHES = 8
+_NDD_BANDS = 4
+_NDD_RPB = _NDD_HASHES // _NDD_BANDS  # rows per band
+
+_SQL_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' qq xq zq' AS text FROM documents
+)"""
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def _sql_shingles(src: str) -> str:
+    """Shingle CTE replaying operators/dedup._shingles: distinct word
+    3-grams, whole-doc fallback for short docs."""
+    return f"""
+toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM {src}),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                       THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                       ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks) u
+)"""
+
+
+_SQL_SIG = f"""
+seeds AS (SELECT unnest(range(0, {_NDD_HASHES})) AS s),
+sig AS (
+  SELECT doc_id, CAST(s AS INT) AS seed,
+         min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, s
+)"""
+
+_SQL_BANDED_CAND = f"""
+banded AS (
+  SELECT doc_id, CAST(seed // {_NDD_RPB} AS INT) AS band,
+         string_agg(CAST(seed AS VARCHAR) || '=' || minhash, '|'
+                    ORDER BY CAST(seed AS VARCHAR) || '=' || minhash) AS band_sig
+  FROM sig GROUP BY doc_id, seed // {_NDD_RPB}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"WITH {_sql_shingles('documents')}, {_SQL_SIG} "
+           "SELECT doc_id, seed, minhash FROM sig",
+    doc="MinHash signatures (long form, one row per doc x hash function): "
+        "min over shingles of md5(seed:shingle). The oracle replays the md5 "
+        "hash family bit-identically — the design reason md5 was chosen "
+        "(operators/dedup.py:13-15).",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _D.minhash_signatures(docs, num_hashes=_NDD_HASHES)
+
+
+@register(
+    "dedup_lsh_candidates",
+    oracle=f"WITH {_SQL_CORPUS}, {_sql_shingles('corpus')}, {_SQL_SIG}, {_SQL_BANDED_CAND} "
+           "SELECT id_a, id_b FROM cand",
+    doc="LSH candidate pairs: banded self-equi-join on (band, band_sig) over "
+        "the planted-duplicate corpus — the scale-safe O(collisions) "
+        "alternative to the O(n^2) pair space.",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _D.minhash_signatures(_planted_corpus(spark, sf_dir), num_hashes=_NDD_HASHES)
+    return _D.lsh_candidate_pairs(sigs, bands=_NDD_BANDS, rows_per_band=_NDD_RPB)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_SQL_CORPUS}, {_sql_shingles('corpus')},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard pairs >= 0.5 over the planted corpus. "
+        "Standalone form (shingle self-join); the composed pipeline "
+        "(dedup_near_composed) restricts this to LSH candidates.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _D.jaccard_pairs(_planted_corpus(spark, sf_dir), threshold=0.5)
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_BIT_TERMS = ", ".join(
+    f"sum(CASE WHEN (((strpos('0123456789abcdef', substring(hx, {15 - i // 4}, 1)) - 1) "
+    f">> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_SIG_SUM = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents) u
+    ),
+    h AS (SELECT doc_id, substring(md5(tok), 1, 15) AS hx FROM toks),
+    bits AS (SELECT doc_id, {_SIMHASH_BIT_TERMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_SIG_SUM} AS BIGINT) AS simhash FROM bits
+    """,
+    doc=f"SimHash fingerprints ({_SIMHASH_BITS}-bit variant): per-token md5 "
+        "-> sign-sum per bit -> fingerprint. The oracle re-derives each bit "
+        "from the md5 hex digits (bit i lives in hex char 15 - i/4), proving "
+        "the conv(md5-prefix) bigint path bit-identical cross-engine.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _D.simhash(docs, bits=_SIMHASH_BITS)
+
+
+@register(
+    "dedup_near_composed",
+    oracle=f"""
+    WITH {_SQL_CORPUS}, {_sql_shingles('corpus')}, {_SQL_SIG}, {_SQL_BANDED_CAND},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    drops AS (
+        SELECT DISTINCT i.id_b FROM cinter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) >= 0.8
+    )
+    SELECT c.doc_id FROM corpus c
+    WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.id_b = c.doc_id)
+    """,
+    doc="The composed near-dedup pipeline (operators/dedup.py near_dedup): "
+        "MinHash -> LSH candidates -> exact Jaccard verify on candidates "
+        "only -> drop docs with a verified dup of smaller id. The scale-safe "
+        "path as ONE callable plan, not prose.",
+)
+def dedup_near_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = _D.near_dedup(
+        _planted_corpus(spark, sf_dir),
+        num_hashes=_NDD_HASHES,
+        bands=_NDD_BANDS,
+        threshold=0.8,
+    )
+    return kept.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN (hyperplane LSH) + embedding near-dups — the hyperplanes are
+# deterministic (seeded md5 stream), so the oracle embeds the SAME plane
+# values as literals and replays bucketing + cosine in SQL.
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import _hyperplane as _hplane  # noqa: E402
+from ..operators.similarity import lsh_topk as _lsh_topk  # noqa: E402
+
+_ANN_PLANES = 8
+_ANN_DIM = 64
+_PLANES = [_hplane(s, _ANN_DIM) for s in range(_ANN_PLANES)]
+
+
+def _sql_bucket(vec: str) -> str:
+    """Replay hyperplane_bucket: per plane, sign of the index-ordered dot
+    product -> '1'/'0'; concatenated bits form the bucket key."""
+    bits = []
+    for p in _PLANES:
+        lits = "[" + ", ".join(repr(v) for v in p) + "]"
+        bits.append(
+            f"CASE WHEN list_sum([({vec})[i] * ({lits})[i] FOR i IN range(1, {_ANN_DIM + 1})]) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, {_sql_bucket('embedding')} AS bucket
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.q_id, c.vec_id,
+               round(list_dot_product(c.embedding, q.qv) /
+                     (sqrt(list_dot_product(c.embedding, c.embedding)) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        FROM c JOIN q USING (bucket)
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Hyperplane-LSH ANN top-5: bucket by 8 sign-of-dot bits, exact "
+        "cosine only within the query's bucket. At 100 TB the corpus is "
+        "written partitioned by bucket so a query touches one partition; "
+        "here the oracle replays the same deterministic planes as literals.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    return _lsh_topk(emb, q, k=5, num_planes=_ANN_PLANES, dim=_ANN_DIM)
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    corpus AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM base
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.embedding, b.embedding) /
+                     (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                      sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
+    """,
+    doc="Embedding-cosine near-duplicate pairs over a corpus with planted "
+        "exact copies (ids offset by 1e4). Brute-force verification form — "
+        "the composed scale path runs this shape only on LSH bucket "
+        "collisions (see ann_lsh_topk / near_dedup).",
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return _D.embedding_near_dups(corpus, threshold=0.99)

@@ -157,3 +157,32 @@ def test_lsh_topk_dim_mismatch_fails_loudly(spark):
     q = spark.createDataFrame([(9, [1.0, 2.0, 3.0])], "q_id long, embedding array<double>")
     with pytest.raises(Exception, match="dim mismatch"):
         similarity.lsh_topk(df, q, k=1, num_planes=2, dim=64).collect()
+
+
+def test_near_dedup_matches_brute_force_jaccard(spark, sf_dir):
+    """The composed LSH->verify pipeline must drop the same docs the
+    brute-force jaccard path identifies (at these settings every >=0.8
+    pair shares a full band, so candidate recall is total here)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    dup = docs.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    corpus = docs.union(dup)
+
+    kept = {r["doc_id"] for r in dedup.near_dedup(corpus, num_hashes=8, bands=4).collect()}
+    brute = dedup.jaccard_pairs(corpus, threshold=0.8)
+    brute_drops = {r["id_b"] for r in brute.select("id_b").distinct().collect()}
+    expect_kept = {r["doc_id"] for r in corpus.collect()} - brute_drops
+    assert kept == expect_kept
+    # exact copies must all be dropped
+    assert all(d >= 5000 or d in kept for d in expect_kept)
+
+
+def test_jaccard_verify_candidate_driven(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e g"), (4, "z y x w v u")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_verify(df, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0 < got[(1, 3)] < 1.0
+    assert (1, 4) not in got  # zero shared shingles -> no row
