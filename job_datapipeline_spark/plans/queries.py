@@ -1389,3 +1389,43 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     )
     return _D.embedding_near_dups(corpus, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Sources: the CSV ingest path (S5+S6) exercised end-to-end over checked-in
+# fixture files shaped exactly like the reference scraper's per-run CSVs.
+# ---------------------------------------------------------------------------
+
+from ..sources.readers import read_scraped_csv as _read_scraped_csv  # noqa: E402
+
+_CSV_FIXTURE_GLOB = "/root/repo/tests/fixtures/csv/*.csv"
+
+
+@register(
+    "csv_source_scan",
+    oracle=f"""
+    SELECT regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(parse_filename(filename), '^\\d{{2}}-\\d{{2}}-\\d{{4}}', ''),
+                       '\\.(csv|parquet)$', ''),
+                   '-[^-]*$', ''),
+               '-', ' ', 'g') AS job_position,
+           companyName AS company_name,
+           company_size,
+           estimated_salary
+    FROM read_csv('{_CSV_FIXTURE_GLOB}', header=true, filename=true, all_varchar=true)
+    """,
+    doc="S5+S6 (cleaner.py:15-40,10-14): schema'd CSV glob scan — the glob "
+        "replaces list-bucket+endswith filtering — with the search term "
+        "recovered from each filename via input_file_name(). The oracle "
+        "independently re-reads the same files and re-derives the column.",
+)
+def csv_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read_scraped_csv(spark, _CSV_FIXTURE_GLOB)
+    return df.select(
+        "job_position",
+        F.col("companyName").alias("company_name"),
+        "company_size",
+        "estimated_salary",
+    )

@@ -1,0 +1,96 @@
+"""Sources/sinks round trips: CSV glob ingest with filename-derived columns,
+partitioned parquet append + newest-partition incremental read, JSON side
+inputs, and the foreachPartition KV sink."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.sources import readers, sinks
+
+CSV_GLOB = os.path.join(os.path.dirname(__file__), "fixtures", "csv", "*.csv")
+
+
+def test_read_scraped_csv_schema_and_job_position(spark):
+    df = readers.read_scraped_csv(spark, CSV_GLOB)
+    rows = df.collect()
+    assert len(rows) == 4
+    # explicit schema: ratings land as doubles, not strings
+    assert dict(df.dtypes)["company_starRating"] == "double"
+    got = {r["companyName"]: r["job_position"] for r in rows}
+    assert got["Checkout Ltd"] == "data scientist"
+    assert got["DeepForge"] == "machine learning engineer"
+    # quoted comma fields survive
+    loc = {r["companyName"]: r["company_roleLocation"] for r in rows}
+    assert loc["Checkout Ltd"] == "London, England"
+
+
+def test_partitioned_parquet_roundtrip_and_newest_partition(spark, tmp_path):
+    root = str(tmp_path / "jobs_parquet")
+    day1 = spark.createDataFrame(
+        [("a", 1, "2021-08-17"), ("b", 2, "2021-08-17")], "k string, v int, run_date string"
+    )
+    day2 = spark.createDataFrame(
+        [("c", 3, "2021-08-18")], "k string, v int, run_date string"
+    )
+    sinks.write_partitioned_parquet(day1, root, ["run_date"], mode="append")
+    sinks.write_partitioned_parquet(day2, root, ["run_date"], mode="append")
+
+    # partition values are type-inferred (ISO dates -> DateType)
+    assert str(readers.newest_partition_value(spark, root, "run_date")) == "2021-08-18"
+    newest = readers.read_newest_partition(spark, root, "run_date")
+    assert [(r["k"], r["v"]) for r in newest.collect()] == [("c", 3)]
+    # partition pruning must reach the scan: only the newest dir's files read
+    plan = newest._jdf.queryExecution().executedPlan().toString()
+    assert "run_date" in plan
+    # appending did not rewrite day1
+    assert spark.read.parquet(root).count() == 3
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "csv_out")
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "k string, v int")
+    sinks.write_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("x", "1"), ("y", "2")}
+
+
+def test_kv_sink_batches_per_partition(spark, tmp_path):
+    """The KV sink must deliver every row exactly once through per-partition
+    batched writers (local mode: executors share our filesystem, so each
+    batch lands as one JSON file we can audit)."""
+    out = str(tmp_path / "kv")
+    os.makedirs(out, exist_ok=True)
+    df = spark.createDataFrame(
+        [(f"id{i}", f"job{i}") for i in range(57)], "job_id string, job string"
+    ).repartition(4)
+
+    def writer_factory():
+        def put_batch(items):
+            path = os.path.join(out, f"{uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                json.dump(items, f)
+
+        return put_batch
+
+    sinks.kv_sink(df, writer_factory, batch_size=10)
+    batches = []
+    for name in os.listdir(out):
+        with open(os.path.join(out, name)) as f:
+            batches.append(json.load(f))
+    assert all(len(b) <= 10 for b in batches)
+    items = [it for b in batches for it in b]
+    assert len(items) == 57
+    assert {it["job_id"] for it in items} == {f"id{i}" for i in range(57)}
+
+
+def test_json_side_input_skills(spark, tmp_path):
+    path = str(tmp_path / "skills.json")
+    with open(path, "w") as f:
+        json.dump({"skills": ["Python", "spark", "SQL"], "jobs": ["data scientist"]}, f)
+    terms = readers.skills_terms(spark, path)
+    assert {r["token"] for r in terms.collect()} == {"python", "spark", "sql"}
