@@ -1429,3 +1429,90 @@ def csv_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "company_size",
         "estimated_salary",
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction surface (H1-H6): mapInPandas over stored-payload fixtures
+# whose golden values are real rows from the reference's sample output
+# (glassdoor-scraper/src/output/output_17-08-2021.csv).
+# ---------------------------------------------------------------------------
+
+from ..sources import html as _H  # noqa: E402
+from ..sources import html_fixtures as _FX  # noqa: E402
+
+
+def _sql_str(v) -> str:
+    return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_dbl(v) -> str:
+    return f"CAST({'NULL' if v is None else repr(v)} AS DOUBLE)"
+
+
+_LISTING_GOLDEN_VALUES = ", ".join(
+    "("
+    + ", ".join(
+        [
+            _sql_str(r["requested_url"]),
+            _sql_str(r["companyName"]),
+            _sql_dbl(r["company_starRating"]),
+            _sql_str(r["company_offeredRole"]),
+            _sql_str(r["company_roleLocation"]),
+            _sql_str(r["listing_jobDesc"]),
+            _sql_dbl(r["compensation_and_benefits"]),
+            _sql_dbl(r["culture_and_values"]),
+            _sql_dbl(r["career_opportunities"]),
+            _sql_dbl(r["work_life_balance"]),
+            _sql_str(r["job_type"]),
+            _sql_str(r["industry"]),
+            _sql_str(r["job_function"]),
+            _sql_str(r["company_size"]),
+        ]
+    )
+    + ")"
+    for r in _FX.expected_listing_rows()
+)
+
+
+@register(
+    "html_extract_listing",
+    oracle="SELECT * FROM (VALUES "
+    + _LISTING_GOLDEN_VALUES
+    + """) AS t(requested_url, companyName, company_starRating,
+               company_offeredRole, company_roleLocation, listing_jobDesc,
+               compensation_and_benefits, culture_and_values,
+               career_opportunities, work_life_balance,
+               job_type, industry, job_function, company_size)""",
+    doc="H1-H5 (listing.py:14-205): banner/description/highlights extraction "
+        "as ONE Arrow-batched mapInPandas stage over (url, html) payloads. "
+        "Golden oracle = real rows from the reference's sample output "
+        "(output_17-08-2021.csv); fixture pages reproduce the structures the "
+        "reference's selectors walked (rating-suffix banner, li-joined "
+        "descriptions, parent-sibling rating labels, N/A and absent-label "
+        "null paths).",
+)
+def html_extract_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = spark.createDataFrame(_FX.listing_fixture_rows(), "url string, html string")
+    return _H.extract_listings_df(payload)
+
+
+_HARVEST_GOLDEN_VALUES = ", ".join(
+    f"({_sql_str(_FX.RESULT_PAGE_URL)}, {_sql_str(url)}, {_sql_str(sal)})"
+    for url, sal in _FX.GOLDEN_LINKS
+)
+
+
+@register(
+    "html_harvest_links",
+    oracle="SELECT * FROM (VALUES "
+    + _HARVEST_GOLDEN_VALUES
+    + ") AS t(page_url, listing_url, salary)",
+    doc="H6 (page.py:35-60): result-page link harvest — listing anchors "
+        "filtered by the jobListing marker, de-duplicated, each with its "
+        "sibling detailSalary span when present; unrelated links ignored.",
+)
+def html_harvest_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = spark.createDataFrame(
+        [(_FX.RESULT_PAGE_URL, _FX.render_result_page_html())], "url string, html string"
+    )
+    return _H.harvest_links_df(payload)
