@@ -20,7 +20,8 @@ Layout:
     catalog.py    table loading / temp-view registration
     functions/    column-expression libraries (cleaning, text, vectors)
     operators/    composite DataFrame->DataFrame operators (topk, dedup, ...)
-    sources/      readers/sinks (parquet partitioning, html extraction, kv)
+    pipelines/    the clean and populate stage plans
+    sources/      readers/sinks (csv/parquet/kv/json) + html extraction
     streaming/    Structured Streaming pipelines over the events table
     plans/        the named query registry (Spark fn + DuckDB oracle SQL)
 """

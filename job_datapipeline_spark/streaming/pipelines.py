@@ -1,0 +1,143 @@
+"""Structured Streaming pipelines over the events stream.
+
+The daily-incremental semantics the reference implements with date-stamped
+S3 objects (cleaner.py:143 stamps, populator.py:22 newest-only) become a
+file-source stream: new files land in a directory, ``Trigger.AvailableNow``
+processes everything outstanding exactly once (checkpointed), and the job
+exits — the same cron-shaped operational model, with Spark owning state,
+retries, and exactly-once bookkeeping instead of hand-rolled retry loops
+(cleaner.py:17-40).
+
+State stays bounded at 100 TB/day because every stateful operator carries a
+watermark: windows finalize and evict, and dedup keys expire after the
+lateness horizon (``dropDuplicatesWithinWatermark``) instead of growing
+forever like the reference's in-process ``@cache`` (listing.py:188).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Stream-side events schema: like schemas.EVENTS but with a zoned timestamp
+# (watermark arithmetic is defined on TimestampType; under the engine's
+# fixed UTC session timezone the values are identical to the batch NTZ view).
+STREAM_EVENTS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType = STREAM_EVENTS,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files — the
+    incremental ingest path. Explicit schema (no inference race with an
+    empty directory); ``maxFilesPerTrigger`` bounds micro-batch size for
+    continuous runs."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the registry's ``events_hourly_rollup``: tumbling
+    1-hour windows, counts + rounded value sums per event_type. The
+    watermark finalizes (and evicts) windows once event time has moved
+    ``watermark`` past their end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``events_sessionize``: native session windows with
+    a 30-minute inactivity gap. The batch twin labels sessions with ordinal
+    ids (gaps-and-islands); the streaming form identifies a session by its
+    (start, end) interval — same partitioning of events, different key
+    representation, asserted equivalent in tests."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """In-flight duplicate suppression with bounded state: duplicates of an
+    event_id arriving within the watermark horizon are dropped; state for
+    old keys is evicted. The streaming form of the reference's in-run
+    memo/dedup (page.py:51 set(), listing.py:188 @cache) that cannot grow
+    without bound."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def available_now_to_parquet(
+    sdf: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Run an incremental catch-up: process all files not yet seen by this
+    checkpoint, write parquet, stop. Re-running with the same checkpoint is
+    exactly-once — already-processed files produce nothing."""
+    q = (
+        sdf.writeStream.trigger(availableNow=True)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", path)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def available_now_to_memory(
+    sdf: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"
+) -> StreamingQuery:
+    """AvailableNow run into an in-memory table (tests/inspection): complete
+    mode emits every window including ones the watermark has not finalized,
+    so finite replays compare 1:1 against their batch twin."""
+    q = (
+        sdf.writeStream.trigger(availableNow=True)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return q
