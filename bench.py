@@ -3,7 +3,9 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query wall seconds.
 
 Execution is forced with the noop sink (full computation, zero collect/IO
 cost on the result side), after one untimed warmup query to exclude JVM/
-session startup from per-query numbers.
+session startup from per-query numbers. Each query runs twice and reports
+the MIN — round-over-round deltas then reflect plan changes, not JIT/page-
+cache jitter.
 """
 
 from __future__ import annotations
@@ -29,11 +31,15 @@ def main() -> None:
     # warmup: spin up executors / codegen paths, untimed
     REGISTRY["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     per_query: dict[str, float] = {}
     for name, q in REGISTRY.items():
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        per_query[name] = round(min(samples), 3)
 
     total = round(sum(per_query.values()), 3)
     print(

@@ -7,6 +7,14 @@ declarative plan producing the two serving tables:
 The reference loops over distinct groups in driver Python with a Counter;
 here it is explode -> broadcast semi-join -> two-phase hash agg -> window
 top-k (deterministic ties) -> static pivot. One shuffle on the group key.
+
+Documented divergence (P3): the reference selects each group's rows by
+SUBSTRING containment — ``jobs[jobs.job_position.str.contains(job)]``
+(populator.py:43) — so one row can feed several groups. This pipeline
+groups by column EQUALITY (the common case its data actually exercises:
+job_position values equal the configured search terms). The faithful
+contains-semantics form is covered by the ``populator_contains_match``
+registry query (broadcast non-equi join).
 """
 
 from __future__ import annotations

@@ -1516,3 +1516,103 @@ def html_harvest_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_FX.RESULT_PAGE_URL, _FX.render_result_page_html())], "url string, html string"
     )
     return _H.harvest_links_df(payload)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binaryFile source + typed metadata + content dedup.
+# Oracle = an independent recomputation (hashlib/os.stat at registration
+# time) of the same fixture blobs the Spark plan reads via binaryFile.
+# ---------------------------------------------------------------------------
+
+import glob as _glob  # noqa: E402
+import hashlib as _hashlib  # noqa: E402
+import os as _os  # noqa: E402
+
+from ..sources import multimodal as _MM  # noqa: E402
+
+_BLOB_DIR = "/root/repo/tests/fixtures/blobs"
+
+
+def _blob_golden_values() -> str:
+    rows = []
+    for path in sorted(_glob.glob(_os.path.join(_BLOB_DIR, "*"))):
+        with open(path, "rb") as f:
+            content = f.read()
+        name = _os.path.basename(path)
+        ext = name.rsplit(".", 1)[-1].lower()
+        rows.append(
+            f"('{name}', '{ext}', CAST({len(content)} AS BIGINT), "
+            f"'{_hashlib.md5(content).hexdigest()}')"
+        )
+    return ", ".join(rows)
+
+
+@register(
+    "multimodal_blob_stats",
+    oracle="SELECT * FROM (VALUES "
+    + _blob_golden_values()
+    + ") AS t(file_name, extension, n_bytes, content_md5)",
+    doc="Multimodal blob scan: binaryFile source over the fixture dir -> "
+        "typed metadata struct (name, extension, byte length, md5 content "
+        "fingerprint), all JVM-side. The oracle recomputes every value "
+        "independently with hashlib/os.stat over the same files.",
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = _MM.with_blob_metadata(_MM.read_binary_dir(spark, _BLOB_DIR))
+    return blobs.select(
+        F.col("meta.file_name").alias("file_name"),
+        F.col("meta.extension").alias("extension"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 contains-predicate grouping + J5 point lookup — the two small reference
+# semantics round 1 left uncovered.
+# ---------------------------------------------------------------------------
+
+@register(
+    "populator_contains_match",
+    oracle="""
+    WITH jobs AS (SELECT unnest(['42', '007', '999']) AS job)
+    SELECT j.job, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS sum_bal
+    FROM customer c JOIN jobs j ON contains(c.c_name, j.job)
+    GROUP BY j.job
+    """,
+    doc="P3 (populator.py:43): the reference groups rows by SUBSTRING "
+        "containment (str.contains), not equality — each 'job' collects "
+        "every row whose name contains it, so rows can match multiple "
+        "groups and the join is a broadcast non-equi join, not a hash join. "
+        "The equality-semantics variant used by top_skills_by_lang is the "
+        "documented divergence; this query covers the faithful form.",
+)
+def populator_contains_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    jobs = spark.createDataFrame([("42",), ("007",), ("999",)], "job string")
+    return (
+        c.join(F.broadcast(jobs), F.col("c_name").contains(F.col("job")))
+        .groupBy("job")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "point_lookup_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_custkey = 42
+    """,
+    doc="J5/S15 (rest_api index.py:16-25, skills_interface.py:22): the "
+        "serving layer's point get as a keyed filter — at rest this table "
+        "is bucketed/partitioned by key so the scan prunes to one file.",
+)
+def point_lookup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )
