@@ -141,10 +141,18 @@ def jaccard_verify(
 
     Candidate-driven join order — pairs ⋈ shingles(id_a) ⋈ shingles(id_b) —
     so the cost is O(candidates x shingles-per-doc), never the O(n^2) full
-    shingle self-join. This is the verification stage near_dedup runs after
-    LSH candidate generation.
+    shingle self-join. Docs that appear in no candidate pair are semi-join
+    pruned BEFORE shingling: at 100 TB the verify stage re-tokenizes only
+    the (tiny) candidate subset, not the corpus. This is the verification
+    stage near_dedup runs after LSH candidate generation.
     """
-    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(id_col, "shingle")
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+    sh = _shingles(docs, text_col, shingle_n).select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -1616,3 +1616,128 @@ def point_lookup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("c_custkey") == 42).select(
         "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface: as-of join, salted skew join, exact
+# percentiles, BPE-ish regex tokenization.
+# ---------------------------------------------------------------------------
+
+from ..operators.asof import asof_join as _asof_join  # noqa: E402
+from ..operators.skew import salted_join as _salted_join  # noqa: E402
+
+
+@register(
+    "join_asof_order_event",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           e.event_type AS last_event_type,
+           round(e.value, 2) AS last_event_value
+    FROM orders o
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               max_by(event_type, event_id) AS event_type,
+               max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, ts) e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+    doc="As-of join (custom operator Spark lacks natively): each order "
+        "enriched with the customer's latest event at or before order "
+        "time. Union-and-carry-forward plan — one shuffle on the key, one "
+        "carried struct per key, no range-join pair blow-up. Oracle uses "
+        "DuckDB's native ASOF JOIN.",
+)
+def join_asof_order_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+    # collapse duplicate (user, ts) right rows first — ASOF tie-breaking on
+    # equal timestamps is engine-defined, so make the right side unique
+    ev_u = ev.groupBy("user_id", "ts").agg(
+        F.max_by("event_type", "event_id").alias("event_type"),
+        F.max_by("value", "event_id").alias("value"),
+    )
+    joined = _asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ev_u,
+        key_left="o_custkey",
+        key_right="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload_cols=["event_type", "value"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_event_value"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Salted join (explicit skew mitigation): the fact side salts on "
+        "event_id, the dim replicates over the salt domain, the join key "
+        "becomes (key, salt) — a hot user spreads over 8 reducers. Result "
+        "is provably identical to the plain join (the oracle IS the plain "
+        "join).",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = table(spark, sf_dir, "customer")
+    joined = _salted_join(ev, c.select("c_custkey", "c_mktsegment"), "c_custkey", "event_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (linear interpolation) per group — Spark "
+        "percentile() and DuckDB quantile_cont share the definition, so "
+        "values match to rounding.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+    )
+
+
+@register(
+    "text_token_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_ish,
+           CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_marks
+    FROM documents
+    """,
+    doc="BPE-ish token counting: words + standalone punctuation marks as "
+        "separate tokens (the cheap proxy for subword token budgets), "
+        "expression-level regexp_extract_all on both engines.",
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), F.lit(0))).cast("bigint").alias("n_bpe_ish"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), F.lit(0))).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0))).cast("bigint").alias("n_marks"),
+    )

@@ -186,3 +186,64 @@ def test_jaccard_verify_candidate_driven(spark):
     assert got[(1, 2)] == 1.0
     assert 0 < got[(1, 3)] < 1.0
     assert (1, 4) not in got  # zero shared shingles -> no row
+
+
+def test_asof_join_semantics(spark):
+    from job_datapipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 50, "d"), (3, 9, "e")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 100), (1, 15, 2.0, 101), (2, 60, 3.0, 102)],
+        "k long, t long, px double, rid long",
+    )
+    out = {
+        r["tag"]: r["px"]
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ["px"], right_order="rid"
+        ).collect()
+    }
+    assert out["a"] == 1.0   # equal ts is visible (<= semantics)
+    assert out["b"] == 2.0   # latest prior
+    assert out["c"] is None  # nothing at or before
+    assert out["d"] is None  # right row is later
+    assert out["e"] is None  # no right rows for key
+
+
+def test_asof_join_ties_pick_highest_order(spark):
+    from job_datapipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "first", 1), (1, 10, "second", 2)], "k long, t long, v string, rid long"
+    )
+    row = asof_join(left, right, "k", "k", "t", "t", ["v"], right_order="rid").first()
+    assert row["v"] == "second"
+
+
+def test_asof_payload_fields_from_same_row(spark):
+    # a right row with a NULL payload field must not inherit the field from
+    # an older row — the carried struct is atomic
+    from job_datapipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 30)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "old", 9.0), (1, 20, "new", None)], "k long, t long, v string, px double"
+    )
+    row = asof_join(left, right, "k", "k", "t", "t", ["v", "px"]).first()
+    assert row["v"] == "new" and row["px"] is None
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from job_datapipeline_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_join(ev, c, "c_custkey", "event_id", salt=8)
+    plain = ev.join(c, "c_custkey")
+    assert salted.count() == plain.count()
+    s = {tuple(r) for r in salted.groupBy("c_mktsegment").count().collect()}
+    p = {tuple(r) for r in plain.groupBy("c_mktsegment").count().collect()}
+    assert s == p
