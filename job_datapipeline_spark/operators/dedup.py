@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokenize, word_ngrams
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, norm
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -39,10 +39,17 @@ def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     shingle (all tokens joined), so short docs still get signatures / LSH
     coverage instead of silently vanishing from the pair space.
     """
-    toks = tokenize(F.col(text_col))
-    grams = word_ngrams(toks, n)
-    with_fallback = F.when(F.size(grams) > 0, grams).otherwise(F.array(F.array_join(toks, " ")))
-    return df.select("*", F.explode(F.array_distinct(with_fallback)).alias("shingle"))
+    # Materialize the token array ONCE per row (its own projection): the
+    # n-gram expression references it several times, and letting Catalyst
+    # inline it would re-run the split/trim/lower chain per reference.
+    toked = df.select("*", tokenize(F.col(text_col)).alias("_toks"))
+    grams = word_ngrams(F.col("_toks"), n)
+    with_fallback = F.when(F.size(grams) > 0, grams).otherwise(
+        F.array(F.array_join(F.col("_toks"), " "))
+    )
+    return toked.select(
+        "*", F.explode(F.array_distinct(with_fallback)).alias("shingle")
+    ).drop("_toks")
 
 
 def minhash_signatures(
@@ -108,13 +115,19 @@ def jaccard_pairs(
     scale risk — at 100 TB this runs AFTER LSH candidate generation, not on
     the full corpus (see lsh_candidate_pairs); standalone it is correct for
     moderate corpora.
+
+    The join key is ``xxhash64(shingle)`` — an 8-byte key on the shuffle
+    wire instead of a multi-word string (64-bit collisions are negligible
+    against any realistic shingle population).
     """
-    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(id_col, "shingle")
+    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(
+        id_col, F.xxhash64("shingle").alias("sh_h")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh_h")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh_h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
@@ -152,13 +165,15 @@ def jaccard_verify(
         .distinct()
     )
     docs = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
-    sh = _shingles(docs, text_col, shingle_n).select(id_col, "shingle")
+    sh = _shingles(docs, text_col, shingle_n).select(
+        id_col, F.xxhash64("shingle").alias("sh_h")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "sh_h")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "sh_h")
     inter = (
         pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "sh_h"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -247,12 +262,26 @@ def embedding_near_dups(
 
     At 100 TB this is the verification stage after LSH/IVF bucketing
     (see similarity.py); standalone it is O(n^2/2) and correct.
+
+    Norms are computed ONCE PER VECTOR before the pair join (an O(n)
+    projection), so the O(n^2) pair stage evaluates a single dot product —
+    not three — per pair. Same expression tree per value, so results are
+    bit-identical to the naive form.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    with_norm = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm(F.col(vec_col)).alias("_n")
+    )
+    a = with_norm.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = with_norm.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

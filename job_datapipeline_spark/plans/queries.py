@@ -1741,3 +1741,51 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"\w+"), F.lit(0))).cast("bigint").alias("n_words"),
         F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0))).cast("bigint").alias("n_marks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scrape-stage work list (S3+S4): config cross product -> formatted base
+# urls -> page-indexed crawl frontier. Oracle = golden VALUES computed by an
+# independent str.format reimplementation of the reference's load_configs/
+# update_url (main.py:22-39,49-58).
+# ---------------------------------------------------------------------------
+
+from ..sources import scrape as _SC  # noqa: E402
+
+_SCRAPE_CONFIG = {
+    "base_url": "https://www.glassdoor.co.uk/Job/{country}-{search_term}-jobs-SRCH_IL.0,{country_code},{str_length}.htm",
+    "search_terms": ["data-scientist", "data-engineer"],
+    "locations": {"all": "SRCH_KO0", "remote": "6_IS11048_KO7", "singapore": "9_IC3235921_KO10"},
+}
+_SCRAPE_PAGES = 2
+
+
+def _scrape_worklist_golden() -> str:
+    rows = []
+    for term in _SCRAPE_CONFIG["search_terms"]:
+        for loc, code in _SCRAPE_CONFIG["locations"].items():
+            base = _SCRAPE_CONFIG["base_url"].format(
+                country=loc, search_term=term, country_code=code,
+                str_length=len(loc) + len(term) + 1,
+            )
+            for page in range(1, _SCRAPE_PAGES + 1):
+                url = base.replace(".htm", f"_IP{page}.htm")
+                rows.append(f"('{term}', '{loc}', CAST({page} AS INT), '{url}')")
+    return ", ".join(rows)
+
+
+@register(
+    "scrape_url_worklist",
+    oracle="SELECT * FROM (VALUES "
+    + _scrape_worklist_golden()
+    + ") AS t(search_term, location, page, url)",
+    doc="S4+S3 (main.py:22-39,49-58): the crawl frontier as a DataFrame — "
+        "search_terms x locations cross join, template slots compiled to a "
+        "concat expression (any slot order), page index rewritten into the "
+        "url. The fetch stage (S1) consumes exactly this work list.",
+)
+def scrape_url_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    worklist = _SC.base_url_worklist(spark, _SCRAPE_CONFIG)
+    return _SC.paginate(worklist, _SCRAPE_PAGES).select(
+        "search_term", "location", "page", "url"
+    )
