@@ -211,6 +211,13 @@ def near_dedup(
     self-join keys are compact (band, band_sig) strings, and verification
     touches candidate pairs only — nothing in the plan is O(n^2) in the
     corpus size.
+
+    Plan-shape note: the verify stage references the candidate frame
+    several times, so the printed plan repeats the signature->banding
+    subtree; at RUNTIME Spark's ReusedExchange collapses the duplicates
+    (one physical shuffle each). Caching the candidates instead was
+    measured SLOWER here (persist pins the pre-AQE plan and defeats
+    runtime exchange reuse) — measure before "fixing" this.
     """
     rows_per_band = max(num_hashes // bands, 1)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)

@@ -1,0 +1,79 @@
+"""Scale-shape regression tests: these assert properties of the PHYSICAL
+PLAN (pushdown, pruning, broadcast, bucket co-location), not row values —
+the things that decide whether a query survives a 100x scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.catalog import table
+from job_datapipeline_spark.plans.queries import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(REGISTRY["point_lookup_customer"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "EqualTo(c_custkey,42)" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    # a 2-column projection must read 2 columns, not the whole table
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_small_dims_broadcast_in_multi_join(spark, sf_dir):
+    plan = _plan(REGISTRY["revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topn_uses_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must not global-sort the table
+    plan = _plan(REGISTRY["orderby_limit_top_parts"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Pre-bucketed tables joined on the bucket key need NO exchange on
+    either side — the co-located join strategy for repeated big joins."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    (
+        o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", str(tmp_path / "b_orders")).mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", str(tmp_path / "b_cust")).mode("overwrite")
+        .saveAsTable("b_cust")
+    )
+    try:
+        bo, bc = spark.table("b_orders"), spark.table("b_cust")
+        j = bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey)
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # sanity: result matches the unbucketed join
+        assert j.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The approximate-aggregate surface: HLL sketches are engine-specific
+    (no cross-engine oracle possible), so the contract is a relative-error
+    bound against the exact count."""
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).first()
+    rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
+    assert rel_err < 0.05, f"approx {row['approx']} vs exact {row['exact']}"
