@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two strategies:
+Three strategies:
 - brute_force_topk: exact cosine top-k. One broadcast of the (small) query
   set against the corpus — a single codegen'd stage, no shuffle until the
   final per-query top-k window. Baseline and verification path.
@@ -9,6 +9,9 @@ Two strategies:
   buckets; candidates = bucket collisions; exact cosine only on candidates.
   At 100 TB the corpus side is pre-bucketed and written partitioned by
   bucket, so a query touches only its bucket partitions.
+- ivf_topk: inverted-file coarse quantization — data-adaptive cells
+  (nearest-centroid assignment) instead of LSH's oblivious buckets;
+  queries probe nprobe cells.
 
 Hyperplanes are generated from a seeded deterministic stream (no RNG at plan
 time) so results are reproducible run-to-run.
@@ -22,7 +25,7 @@ import struct
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot, norm
+from ..functions.vectors import dot, l2_distance, norm
 
 
 def brute_force_topk(
@@ -119,6 +122,72 @@ def lsh_topk(
     denom = F.col("_cn") * F.col("_qn")
     cos = F.when(denom > 0, dot(F.col("_cvec"), F.col("_qvec")) / denom).otherwise(F.lit(0.0))
     scored = c.join(F.broadcast(q), "bucket").withColumn("cos", F.round(cos, 6))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_ids: tuple[int, ...] = (0, 7, 14, 21, 28, 35, 42, 49),
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    cos_round: int = 6,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse quantization by nearest centroid, exact
+    cosine only within probed cells.
+
+    ``cos_round`` controls the rounding applied BEFORE ranking; coarser
+    rounding (e.g. 4) makes rankings reproducible across engines whose
+    floating sums differ in the last ulp — ties break by id either way.
+
+    The coarse quantizer is deliberately training-free and fully
+    declarative: centroids are corpus vectors at fixed ids (a deterministic
+    sample — a k-means refinement would slot in identically), every vector
+    is assigned to its nearest centroid by L2 (broadcast join + window
+    argmin, ties by centroid id), and queries probe their ``nprobe``
+    nearest cells. At 100 TB the corpus is written partitioned by
+    ``cell``, so a query reads ``nprobe`` partitions — the IVF analogue of
+    the hyperplane-LSH layout in :func:`lsh_topk`, trading LSH's
+    oblivious buckets for data-adaptive cells.
+
+    Distances are rounded to 6 decimals before ranking so the cell
+    assignment is reproducible across engines (oracle replay).
+    """
+    cents = corpus.filter(F.col(corpus_id).isin(*centroid_ids)).select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("_cent")
+    )
+
+    def assign(df: DataFrame, id_col: str, out_rank: int) -> DataFrame:
+        d = F.round(l2_distance(F.col("_v"), F.col("_cent")), 6)
+        w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
+        return (
+            df.join(F.broadcast(cents))
+            .withColumn("_d", d)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= out_rank)
+            .drop("_cent", "_d", "_r")
+        )
+
+    c = assign(
+        corpus.select(corpus_id, F.col(vec_col).alias("_v")), corpus_id, 1
+    ).withColumnRenamed("cid", "cell")
+    q = assign(
+        queries.select(query_id, F.col(vec_col).alias("_v")), query_id, nprobe
+    ).withColumnRenamed("cid", "cell")
+
+    c = c.withColumn("_cn", norm(F.col("_v")))
+    q = q.select(query_id, "cell", F.col("_v").alias("_qv"), norm(F.col("_v")).alias("_qn"))
+    denom = F.col("_cn") * F.col("_qn")
+    cos = F.when(denom > 0, dot(F.col("_v"), F.col("_qv")) / denom).otherwise(F.lit(0.0))
+    scored = c.join(F.broadcast(q), "cell").withColumn("cos", F.round(cos, cos_round))
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -1789,3 +1789,118 @@ def scrape_url_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SC.paginate(worklist, _SCRAPE_PAGES).select(
         "search_term", "location", "page", "url"
     )
+
+
+# ---------------------------------------------------------------------------
+# The clean stage END-TO-END through the CSV source path: glob scan ->
+# filename-derived job_position -> full cleaner transform set -> typed
+# output. This is the reference's daily `python cleaner.py` run as one plan.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cleaner_csv_end_to_end",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('data scientist', 'Checkout Ltd', 4.7, 'GBP', 68750, 93750, 1001, 5000),
+        ('data scientist', 'Acme Analytics', 4.2, 'USD', 120000, 120000, 201, 500),
+        ('machine learning engineer', 'Deepforge', 4.9, 'CHF', 110000, 140000, 51, 200),
+        ('machine learning engineer', 'Tiny Shop', 3.5, 'USD', 52200, 52200, 1, 50)
+    ) AS t(job_position, company_name, company_rating, currency,
+           min_estimated_salary, max_estimated_salary,
+           company_size_min, company_size_max)
+    """,
+    doc="S5+S6+F1-F6+J3 composed (the whole data-cleaner/cleaner.py run): "
+        "schema'd CSV glob -> job_position from filename -> rating/size/"
+        "salary parsing with FX broadcast join (GBP 0.8: 55000/0.8=68750; "
+        "CHF 1.0; Per-Hour 25*8*261=52200). Golden VALUES = hand-derived "
+        "expected outputs for the checked-in fixture rows.",
+)
+def cleaner_csv_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _read_scraped_csv(spark, _CSV_FIXTURE_GLOB)
+    jobs = raw.select(
+        "job_position",
+        F.col("companyName").alias("company_name"),
+        F.col("company_starRating").alias("company_rating"),
+        F.col("estimated_salary").alias("company_estimated_salary"),
+        "company_size",
+    )
+    rates = _rates_dim(spark, {"USD": 1.0, "GBP": 0.8, "EUR": 0.9, "CHF": 1.0})
+    cleaned = _clean_jobs(jobs, rates)
+    return cleaned.select(
+        "job_position",
+        "company_name",
+        "company_rating",
+        "currency",
+        "min_estimated_salary",
+        "max_estimated_salary",
+        "company_size_min",
+        "company_size_max",
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: the data-adaptive counterpart of the hyperplane-LSH path. The
+# oracle replays centroid assignment (L2 argmin with double-cast element
+# math, rounded to 6 before ranking) and in-cell cosine scoring in SQL.
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import ivf_topk as _ivf_topk  # noqa: E402
+
+_IVF_CENTS = "(0, 7, 14, 21, 28, 35, 42, 49)"
+_IVF_L2 = (
+    "round(sqrt(list_sum(["
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) * "
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) "
+    "FOR i IN range(1, 65)])), 6)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM embeddings
+        WHERE vec_id IN {_IVF_CENTS}
+    ),
+    ca AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_IVF_L2}, c.cid) AS r
+            FROM embeddings e CROSS JOIN cents c) x
+        WHERE r = 1
+    ),
+    qa AS (
+        SELECT q_id, qv, cid AS cell FROM (
+            SELECT e.vec_id AS q_id, e.embedding AS qv, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_IVF_L2}, c.cid) AS r
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 5) x
+        WHERE r <= 2
+    ),
+    scored AS (
+        SELECT qa.q_id, ca.vec_id,
+               round(list_dot_product(ca.embedding, qa.qv) /
+                     (sqrt(list_dot_product(ca.embedding, ca.embedding)) *
+                      sqrt(list_dot_product(qa.qv, qa.qv))), 4) AS cos
+        FROM ca JOIN qa USING (cell)
+    )
+    SELECT q_id, vec_id, cos, rank FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored) x
+    WHERE rank <= 5
+    """,
+    doc="IVF ANN top-5: corpus vectors assigned to their nearest of 8 "
+        "fixed-id centroids (L2 argmin, deterministic ties), queries probe "
+        "their 2 nearest cells, exact cosine only within probed cells. At "
+        "100 TB the corpus is written partitioned by cell; a query reads "
+        "nprobe partitions.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    return _ivf_topk(emb, q, k=5, nprobe=2, cos_round=4)
