@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType
+from pyspark.sql.types import LongType, StructType, TimestampNTZType
 
 from .schemas import TESTDATA_SCHEMAS
 
@@ -51,6 +51,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f_actual.name, F.timestamp_micros(micros).cast("timestamp_ntz")
             )
     return df
+
+
+def literal_dim(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A tiny literal dimension (config values, fixture rows, band tables)
+    as a PURE JVM plan: ``range(1)`` + ``inline`` of struct literals.
+
+    ``spark.createDataFrame`` on local rows builds a Python-RDD scan whose
+    every downstream job re-runs Python worker round-trips — measured 7s
+    for a 12-row broadcast cross join on local[32]; this form runs in 0.2s
+    and broadcasts for free. Use for any dim small enough to inline into
+    the plan (config cross products, FX rates, test fixtures); real data
+    comes through ``table``/the sources layer.
+    """
+    st = StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    structs = [
+        F.struct(*[F.lit(v).cast(f.dataType).alias(f.name) for v, f in zip(r, st.fields)])
+        for r in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -13,14 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import literal_dim
 from ..functions import cleaning as C
 
 
 def exchange_rates_dim(spark, rates: dict[str, float]) -> DataFrame:
     """The rates dict (fetched from a REST API at cleaner.py:103 in the
     reference) as a broadcastable dimension table."""
-    return spark.createDataFrame(
-        [(iso, float(rate)) for iso, rate in rates.items()], "currency string, rate double"
+    return literal_dim(
+        spark, [(iso, float(rate)) for iso, rate in rates.items()], "currency string, rate double"
     )
 
 

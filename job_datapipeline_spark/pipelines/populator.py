@@ -24,6 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import literal_dim
 from ..functions.cleaning import deterministic_job_id
 from ..functions.text import tokenize
 from ..operators.topk import rank_pivot, top_k_per_group
@@ -32,7 +33,7 @@ from ..operators.topk import rank_pivot, top_k_per_group
 def skills_dim(spark: SparkSession, skills: Sequence[str]) -> DataFrame:
     """The skills.json term list (data_populator/skills.json:1-16) as a
     broadcastable single-column dim."""
-    return spark.createDataFrame([(s.lower(),) for s in skills], "token string")
+    return literal_dim(spark, [(s.lower(),) for s in skills], "token string")
 
 
 def skill_counts(df: DataFrame, skills: DataFrame, group_col: str, text_col: str) -> DataFrame:

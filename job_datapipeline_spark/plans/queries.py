@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import literal_dim, table
 from ..functions.text import fingerprint, tokenize
 from ..functions.vectors import cosine
 from ..operators.topk import rank_pivot, top_k_per_group
@@ -328,7 +328,8 @@ def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    bands = o.sparkSession.createDataFrame(
+    bands = literal_dim(
+        spark,
         [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1e18)],
         "band string, lo double, hi double",
     )
@@ -450,7 +451,7 @@ def _doc_skill_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (populator.py:39-46) as one declarative plan. The skills dim is
     a broadcast literal; the count is a two-phase hash agg."""
     docs = table(spark, sf_dir, "documents")
-    skills = spark.createDataFrame([(s,) for s in SKILLS_VOCAB], "token string")
+    skills = literal_dim(spark, [(s,) for s in SKILLS_VOCAB], "token string")
     toks = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("token"))
     return (
         toks.join(F.broadcast(skills), "token", "left_semi")
@@ -863,7 +864,7 @@ _SALARY_CASES = [
         "oracle holds the reference-spec outputs.",
 )
 def cleaner_salary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame([(s,) for s, *_ in _SALARY_CASES], "salary string")
+    df = literal_dim(spark, [(s,) for s, *_ in _SALARY_CASES], "salary string")
     lo, hi = _C.parse_salary_bounds(F.col("salary"))
     return df.select(
         "salary",
@@ -893,7 +894,7 @@ _SIZE_CASES = [
         "(A,B); 'N+ Employees' -> (N,N); unparseable -> nulls.",
 )
 def cleaner_company_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame([(s,) for s, *_ in _SIZE_CASES], "company_size string")
+    df = literal_dim(spark, [(s,) for s, *_ in _SIZE_CASES], "company_size string")
     lo, hi = _C.parse_company_size(F.col("company_size"))
     return df.select("company_size", lo.alias("size_min"), hi.alias("size_max"))
 
@@ -916,7 +917,7 @@ def cleaner_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("example.com/a", "7,764 Jobs", "17-08-2021data-scientist-remote.csv"),
         ("http://x.io", "Page 1 of 30", "31-08-2021data-engineer-all.csv"),
     ]
-    df = spark.createDataFrame(rows, "url string, counter string, filename string")
+    df = literal_dim(spark, rows, "url string, counter string, filename string")
     return df.select(
         "url",
         _C.normalize_url(F.col("url")).alias("url_norm"),
@@ -954,7 +955,8 @@ _JOBS_ROWS = [
         "25000/0.8=31250).",
 )
 def cleaner_full_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    jobs = spark.createDataFrame(
+    jobs = literal_dim(
+        spark,
         _JOBS_ROWS,
         "company_name string, company_rating double, "
         "company_estimated_salary string, company_size string",
@@ -1492,7 +1494,7 @@ _LISTING_GOLDEN_VALUES = ", ".join(
         "null paths).",
 )
 def html_extract_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    payload = spark.createDataFrame(_FX.listing_fixture_rows(), "url string, html string")
+    payload = literal_dim(spark, _FX.listing_fixture_rows(), "url string, html string")
     return _H.extract_listings_df(payload)
 
 
@@ -1512,8 +1514,8 @@ _HARVEST_GOLDEN_VALUES = ", ".join(
         "sibling detailSalary span when present; unrelated links ignored.",
 )
 def html_harvest_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    payload = spark.createDataFrame(
-        [(_FX.RESULT_PAGE_URL, _FX.render_result_page_html())], "url string, html string"
+    payload = literal_dim(
+        spark, [(_FX.RESULT_PAGE_URL, _FX.render_result_page_html())], "url string, html string"
     )
     return _H.harvest_links_df(payload)
 
@@ -1590,7 +1592,7 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def populator_contains_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    jobs = spark.createDataFrame([("42",), ("007",), ("999",)], "job string")
+    jobs = literal_dim(spark, [("42",), ("007",), ("999",)], "job string")
     return (
         c.join(F.broadcast(jobs), F.col("c_name").contains(F.col("job")))
         .groupBy("job")

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from ..catalog import literal_dim
+
 # ---------------------------------------------------------------------------
 # S4: config -> base-url work list
 # ---------------------------------------------------------------------------
@@ -58,16 +60,18 @@ def base_url_worklist(spark: SparkSession, config: dict) -> DataFrame:
     """The search_terms x locations cross product as a DataFrame with the
     formatted base url per pair (main.py:32-38). ``config`` is the parsed
     config.json (base_url, search_terms, locations: {name: code})."""
-    # coalesce(1): config dims are a handful of rows; the default-parallelism
-    # cross join would otherwise fan out to partitions^2 empty tasks. The
-    # crawl frontier re-partitions AFTER paginate(), where the fan-out is real.
-    terms = spark.createDataFrame(
-        [(t,) for t in config["search_terms"]], "search_term string"
-    ).coalesce(1)
-    locs = spark.createDataFrame(
+    # literal_dim keeps the config dims as pure JVM literal plans (no
+    # Python-RDD scans — a handful of rows must not cost worker round
+    # trips). The crawl frontier re-partitions AFTER paginate(), where the
+    # fan-out is real.
+    terms = literal_dim(
+        spark, [(t,) for t in config["search_terms"]], "search_term string"
+    )
+    locs = literal_dim(
+        spark,
         [(name, code) for name, code in config["locations"].items()],
         "location string, country_code string",
-    ).coalesce(1)
+    )
     crossed = terms.crossJoin(F.broadcast(locs))
     url = _template_expr(
         config["base_url"],
