@@ -32,8 +32,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per document.
+def _shingle_array(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document, as an array column
+    ``_shs`` — a pure map-side projection (no explode, no shuffle).
 
     Documents shorter than ``n`` tokens fall back to a single whole-document
     shingle (all tokens joined), so short docs still get signatures / LSH
@@ -42,6 +43,23 @@ def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     # Materialize the token array ONCE per row (its own projection): the
     # n-gram expression references it several times, and letting Catalyst
     # inline it would re-run the split/trim/lower chain per reference.
+    toked = df.select("*", tokenize(F.col(text_col)).alias("_toks"))
+    grams = word_ngrams(F.col("_toks"), n)
+    with_fallback = F.when(F.size(grams) > 0, grams).otherwise(
+        F.array(F.array_join(F.col("_toks"), " "))
+    )
+    return toked.select("*", F.array_distinct(with_fallback).alias("_shs")).drop("_toks")
+
+
+def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document, one row per shingle.
+
+    Deliberately NOT built on :func:`_shingle_array` + explode: putting the
+    shingle array in its own projection below the Generate measured ~3x
+    slower on the jaccard path (the wide array column crosses an extra
+    operator boundary); inlining the array expression as the generator
+    child keeps it inside the Generate node.
+    """
     toked = df.select("*", tokenize(F.col(text_col)).alias("_toks"))
     grams = word_ngrams(F.col("_toks"), n)
     with_fallback = F.when(F.size(grams) > 0, grams).otherwise(
@@ -64,15 +82,25 @@ def minhash_signatures(
     md5-of-seeded-shingle is a perfectly serviceable hash family for MinHash
     and is reproducible in any engine with md5(). Output:
     (id, seed, minhash) — long form, one row per (doc, hash function).
+
+    Computed ENTIRELY map-side: per-doc shingle array -> explode only the
+    ``num_hashes`` seeds -> ``array_min(transform(...))`` takes the min over
+    the doc's shingles inside one codegen'd expression. Zero shuffles —
+    the naive explode(shingles) x seeds form shuffles |docs| x |shingles|
+    x num_hashes rows into a groupBy for the identical result.
     """
-    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n)
+    arr = _shingle_array(df.select(id_col, text_col), text_col, shingle_n)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select(id_col, "shingle").select(
+    return arr.select(id_col, seeds, "_shs").select(
         id_col,
-        seeds,
-        F.col("shingle"),
-    ).withColumn("h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))))
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+        "seed",
+        F.array_min(
+            F.transform(
+                "_shs",
+                lambda s: F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), s)),
+            )
+        ).alias("minhash"),
+    )
 
 
 def lsh_candidate_pairs(
