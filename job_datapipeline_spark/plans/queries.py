@@ -1906,3 +1906,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding")
     )
     return _ivf_topk(emb, q, k=5, nprobe=2, cos_round=4)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_sessionize_stateful",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked),
+    agg AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, sid),
+    wm AS (SELECT max(ts) - INTERVAL 1 SECOND AS horizon FROM events)
+    SELECT user_id, session_start, session_end, CAST(n_events AS BIGINT) AS n_events
+    FROM agg, wm
+    WHERE sid < (SELECT max(s2.sid) FROM agg s2 WHERE s2.user_id = agg.user_id)
+       OR session_end + INTERVAL 30 MINUTE < horizon
+    """,
+    doc="Custom stateful streaming sessionization (applyInPandasWithState + "
+        "EventTimeTimeout): a session row is emitted exactly once — closed "
+        "in-flight by a gap-exceeding successor event, or by state timeout "
+        "when the watermark passes last_ts + gap. The fn runs a real "
+        "AvailableNow streaming job (file source -> stateful op -> memory "
+        "sink); the oracle replays the emission rule in SQL: every "
+        "non-final session, plus final sessions whose gap horizon lies "
+        "strictly below the final watermark (max ts - 1s delay). State is "
+        "O(active users); closed keys are removed from the store.",
+)
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import available_now_to_memory, read_events_stream
+    from ..streaming.stateful import sessionize_stateful
+
+    base = tempfile.mkdtemp(prefix="sess_stateful_")
+    src = base + "/events.parquet"
+    (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    name = "sess_stateful_" + uuid.uuid4().hex[:8]
+    available_now_to_memory(
+        sessionize_stateful(read_events_stream(spark, src)),
+        name,
+        base + "/ckpt",
+        output_mode="append",
+    )
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+from ..deploy import ensure_shipped
+
 # ---------------------------------------------------------------------------
 # Minimal DOM
 # ---------------------------------------------------------------------------
@@ -356,6 +358,7 @@ def extract_listings_df(df: DataFrame, html_col: str = "html", url_col: str = "u
             ]
             yield pd.DataFrame(records, columns=_LISTING_COLS)
 
+    ensure_shipped(df.sparkSession)
     return df.mapInPandas(gen, LISTING_SCHEMA)
 
 
@@ -373,4 +376,5 @@ def harvest_links_df(df: DataFrame, html_col: str = "html", url_col: str = "url"
                 )
             yield pd.DataFrame(rows, columns=["page_url", "listing_url", "salary"])
 
+    ensure_shipped(df.sparkSession)
     return df.mapInPandas(gen, HARVEST_SCHEMA)

@@ -29,6 +29,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..deploy import ensure_shipped
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -140,6 +142,7 @@ def decode_image_features(
                                  "format": fmt, "features": feats})
             yield pd.DataFrame(rows, columns=["path", "width", "height", "format", "features"])
 
+    ensure_shipped(df.sparkSession)
     return df.mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
 
 
@@ -178,4 +181,5 @@ def sample_video_frames(
                     rows.append({"path": path, "frame_index": idx, "frame_features": feats})
             yield pd.DataFrame(rows, columns=["path", "frame_index", "frame_features"])
 
+    ensure_shipped(df.sparkSession)
     return df.mapInPandas(gen, VIDEO_FRAMES_SCHEMA)

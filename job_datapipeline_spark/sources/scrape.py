@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..catalog import literal_dim
+from ..deploy import ensure_shipped
 
 # ---------------------------------------------------------------------------
 # S4: config -> base-url work list
@@ -192,4 +193,5 @@ def fetch_pages(
                 rows.append({"url": url, "html": html, "error": err})
             yield pd.DataFrame(rows, columns=["url", "html", "error"])
 
+    ensure_shipped(df.sparkSession)
     return df.mapInPandas(gen, FETCH_SCHEMA)

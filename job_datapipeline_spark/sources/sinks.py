@@ -24,6 +24,8 @@ from collections.abc import Callable, Iterable, Iterator, Sequence
 from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
+from ..deploy import ensure_shipped
+
 
 def write_partitioned_parquet(
     df: DataFrame,
@@ -81,6 +83,7 @@ def kv_sink(
         if buf:
             put_batch(buf)
 
+    ensure_shipped(df.sparkSession)
     df.foreachPartition(per_partition)
 
 

@@ -11,6 +11,10 @@ and ``dropDuplicatesWithinWatermark`` for bounded-state dedup.
 Every streaming pipeline has a batch twin in the query registry
 (events_hourly_rollup, events_sessionize) and a pytest proving
 stream-equals-batch on the same inputs.
+
+``stateful`` adds the custom-operator path the built-ins cannot express:
+``applyInPandasWithState`` sessionization with emit-once-on-close semantics
+and event-time state timeout (registry: streaming_sessionize_stateful).
 """
 
 from .pipelines import (
@@ -20,11 +24,13 @@ from .pipelines import (
     read_events_stream,
     sessionize_stream,
 )
+from .stateful import sessionize_stateful
 
 __all__ = [
     "available_now_to_parquet",
     "dedup_events_stream",
     "hourly_rollup_stream",
     "read_events_stream",
+    "sessionize_stateful",
     "sessionize_stream",
 ]

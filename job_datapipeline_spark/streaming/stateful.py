@@ -1,0 +1,136 @@
+"""Custom stateful streaming operator: sessionization with explicit state.
+
+``F.session_window`` covers plain gap-sessionization; this operator exists
+for the semantics the built-in cannot express — the session summary row is
+emitted EXACTLY ONCE, either the moment a later event from the same user
+proves the session closed (gap exceeded in-flight) or when event time
+(the watermark) passes the session's gap horizon and the state times out.
+That "emit on close, with custom payload, then forget the key" shape is the
+streaming form of the reference's per-run accumulate-then-flush loop
+(glassdoor-scraper/src/main.py:35-60 accumulates listings, flushes once at
+end of run) with bounded state instead of an unbounded in-process list.
+
+Implementation: ``applyInPandasWithState`` grouped by user, Arrow-batched
+pandas per group, ``GroupState`` carrying (session_start, last_ts, n_events)
+as epoch-ms longs, ``EventTimeTimeout`` keyed to last_ts + gap. State is
+O(active users), not O(events): every closed session leaves the store.
+
+Timezone contract: epoch arithmetic assumes the engine's fixed UTC session
+timezone (session.py sets it; Arrow hands the worker naive-UTC datetimes).
+
+Determinism (what makes the DuckDB oracle possible): with one data batch —
+AvailableNow over fewer than maxFilesPerTrigger files — the emitted set is
+exactly (a) every session followed by a later session of the same user,
+plus (b) final sessions whose (last_ts + gap) < (max event ts - watermark
+delay), because the post-batch no-data micro-batch fires timeouts strictly
+below the final watermark. Both are plain SQL over the batch table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..deploy import ensure_shipped
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# (session_start_us, last_ts_us, n_events) — epoch MICROseconds: timestamps
+# round-trip at full parquet precision (ms would truncate µs digits)
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _to_us(s: pd.Series) -> pd.Series:
+    return s.astype("datetime64[ns]").astype("int64") // 1_000
+
+
+def _row(user_id: int, start_us: int, last_us: int, n: int) -> dict[str, Any]:
+    return {
+        "user_id": user_id,
+        "session_start": pd.to_datetime(start_us, unit="us"),
+        "session_end": pd.to_datetime(last_us, unit="us"),
+        "n_events": n,
+    }
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 30 * 60,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Streaming DataFrame of closed sessions (user_id, session_start,
+    session_end, n_events), one row per session, emitted on close.
+
+    ``session_end`` is the LAST EVENT's timestamp (matching the batch
+    gaps-and-islands twin ``events_sessionize`` exactly), not last + gap as
+    ``F.session_window`` reports — one reason this is a custom operator.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def close_sessions(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out: list[dict[str, Any]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            out.append(_row(user_id, start_us, last_us, n))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for us in _to_us(pdf["ts"]):
+                    us = int(us)
+                    if cur is None:
+                        cur = (us, us, 1)
+                    elif us - cur[1] <= gap_us:
+                        cur = (cur[0], us, cur[2] + 1)
+                    else:
+                        out.append(_row(user_id, cur[0], cur[1], cur[2]))
+                        cur = (us, us, 1)
+            if cur is not None:
+                state.update(cur)
+                # timeout API is ms-granular: round UP so it never fires
+                # before the µs horizon; never set a timeout at/below the
+                # current watermark (Spark rejects it)
+                state.setTimeoutTimestamp(
+                    max(-(-(cur[1] + gap_us) // 1000), state.getCurrentWatermarkMs() + 1)
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUT.fields])
+
+    ensure_shipped(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            close_sessions,
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

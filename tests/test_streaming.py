@@ -93,3 +93,88 @@ def test_dedup_stream_drops_watermarked_duplicates(spark, sf_dir, tmp_path):
         P.dedup_events_stream(P.read_events_stream(spark, src)), out, ckpt
     )
     assert spark.read.parquet(out).count() == 200
+
+
+def test_stateful_sessionize_merges_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState continuity proof: events split into two
+    TIME-ORDERED files fed one-per-micro-batch; sessions spanning the file
+    boundary must be merged by carried state, and the final emitted set must
+    equal the batch gaps-and-islands sessions under the emission rule (all
+    non-final sessions + final sessions past the watermark gap horizon)."""
+    from job_datapipeline_spark.streaming.stateful import sessionize_stateful
+
+    ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    # cut INSIDE the longest non-final multi-event session, so at least one
+    # session is guaranteed to have events on both sides of the boundary
+    ev.createOrReplaceTempView("_ev_stateful")
+    cut = spark.sql("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS is_new
+          FROM _ev_stateful),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked),
+        agg AS (
+          SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+          FROM sess GROUP BY user_id, sid)
+        SELECT timestamp_micros((unix_micros(s) + unix_micros(e)) DIV 2 + 1) AS c
+        FROM agg
+        WHERE sid < (SELECT max(s2.sid) FROM agg s2 WHERE s2.user_id = agg.user_id)
+          AND unix_micros(e) - unix_micros(s) >= 2
+        ORDER BY unix_micros(e) - unix_micros(s) DESC, user_id
+        LIMIT 1
+    """).collect()[0]["c"]
+    src = str(tmp_path / "src")
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = sessionize_stateful(
+        P.read_events_stream(spark, src, max_files_per_trigger=1)
+    )
+    P.available_now_to_memory(stream, "sess_state_mem", str(tmp_path / "ckpt"), "append")
+    result = spark.table("sess_state_mem")
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in result.collect()
+    }
+
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("""
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                  > INTERVAL 30 MINUTES
+                          THEN 1 ELSE 0 END AS is_new
+              FROM _ev_stateful),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked),
+            agg AS (
+              SELECT user_id, sid, count(*) AS n_events,
+                     min(ts) AS session_start, max(ts) AS session_end
+              FROM sess GROUP BY user_id, sid),
+            wm AS (SELECT max(ts) - INTERVAL 1 SECONDS AS horizon FROM _ev_stateful)
+            SELECT user_id, session_start, session_end, n_events
+            FROM agg, wm
+            WHERE sid < (SELECT max(s2.sid) FROM agg s2 WHERE s2.user_id = agg.user_id)
+               OR session_end + INTERVAL 30 MINUTES < horizon
+        """).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # at least one emitted session must straddle the file boundary: its
+    # events came from BOTH micro-batches, merged through GroupState
+    straddling = result.filter(
+        (F.col("session_start") < F.lit(cut)) & (F.col("session_end") >= F.lit(cut))
+    ).count()
+    assert straddling > 0
