@@ -284,7 +284,17 @@ def jaccard_verify(
         .distinct()
     )
     docs = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
-    arrays = _shingle_arrays(docs, text_col, id_col, shingle_n)
+    # array_intersect is order-blind, so unlike jaccard_pairs (whose prefix
+    # filter needs the global-frequency order of _shingle_arrays) the verify
+    # arrays build MAP-SIDE: no frequency groupBy, no join. Checkpointed
+    # because the pair join references the frame twice (id_a and id_b sides)
+    # and a shuffle-free subtree has no exchange for AQE to reuse.
+    arrays = (
+        _shingle_array(docs, text_col, shingle_n)
+        .select(id_col, F.transform("_shs", lambda s: F.xxhash64(s)).alias("shs"))
+        .withColumn("n_sh", F.size("shs"))
+        .localCheckpoint()
+    )
     return _jaccard_from_arrays(pairs, arrays, id_col)
 
 
