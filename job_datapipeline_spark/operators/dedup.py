@@ -40,34 +40,41 @@ def _shingle_array(df: DataFrame, text_col: str, n: int) -> DataFrame:
     shingle (all tokens joined), so short docs still get signatures / LSH
     coverage instead of silently vanishing from the pair space.
     """
-    # Materialize the token array ONCE per row (its own projection): the
-    # n-gram expression references it several times, and letting Catalyst
-    # inline it would re-run the split/trim/lower chain per reference.
+    # Materialize the token array AND the n-gram array each in their own
+    # projection: both are referenced twice downstream (the when() guard
+    # re-references grams; the fallback re-references tokens), and a
+    # multi-referenced alias survives CollapseProject while an inlined
+    # expression is re-evaluated per reference (measured 1.7x on the
+    # shingle pipeline).
+    pg = _projected_grams(df, text_col, n)
+    return pg.select("*", _distinct_shingles().alias("_shs")).drop("_toks", "_grams")
+
+
+def _projected_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
     toked = df.select("*", tokenize(F.col(text_col)).alias("_toks"))
-    grams = word_ngrams(F.col("_toks"), n)
-    with_fallback = F.when(F.size(grams) > 0, grams).otherwise(
+    return toked.select("*", word_ngrams(F.col("_toks"), n).alias("_grams"))
+
+
+def _distinct_shingles() -> F.Column:
+    with_fallback = F.when(F.size("_grams") > 0, F.col("_grams")).otherwise(
         F.array(F.array_join(F.col("_toks"), " "))
     )
-    return toked.select("*", F.array_distinct(with_fallback).alias("_shs")).drop("_toks")
+    return F.array_distinct(with_fallback)
 
 
 def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per document, one row per shingle.
 
     Deliberately NOT built on :func:`_shingle_array` + explode: putting the
-    shingle array in its own projection below the Generate measured ~3x
+    shingle array in its own projection below the Generate measured 3-6x
     slower on the jaccard path (the wide array column crosses an extra
     operator boundary); inlining the array expression as the generator
     child keeps it inside the Generate node.
     """
-    toked = df.select("*", tokenize(F.col(text_col)).alias("_toks"))
-    grams = word_ngrams(F.col("_toks"), n)
-    with_fallback = F.when(F.size(grams) > 0, grams).otherwise(
-        F.array(F.array_join(F.col("_toks"), " "))
+    pg = _projected_grams(df, text_col, n)
+    return pg.select("*", F.explode(_distinct_shingles()).alias("shingle")).drop(
+        "_toks", "_grams"
     )
-    return toked.select(
-        "*", F.explode(F.array_distinct(with_fallback)).alias("shingle")
-    ).drop("_toks")
 
 
 def minhash_signatures(

@@ -137,3 +137,41 @@ def test_uuid5_job_id_byte_compat(spark):
     # null-safe
     df2 = spark.createDataFrame([(None,)], "job string")
     assert df2.select(C.uuid5_job_id(F.col("job")).alias("jid")).first()["jid"] is None
+
+
+# ---------------------------------------------------------------------------
+# Empty/whitespace-text contract: the text_stats / text_quality oracles guard
+# trim(text)='' and zero-length denominators; the Spark expressions must
+# return the SAME guarded values so the cross-engine contract holds even
+# though no testdata document is empty (ADVICE r1, medium).
+# ---------------------------------------------------------------------------
+
+def test_text_edge_contract_matches_oracle_guards(spark):
+    import duckdb
+
+    from job_datapipeline_spark.functions import text as T
+
+    edge = ["", "   ", "\t\n", "!!!", "a b", None]
+    sdf = spark.createDataFrame([(v,) for v in edge], "text string").select(
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(T.stopword_ratio(T.tokenize(F.col("text"))), 4).alias("stop_ratio"),
+    )
+    got = [tuple(r) for r in sdf.collect()]
+
+    stop_in = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+    want = duckdb.sql(f"""
+        WITH d(text) AS (SELECT unnest([e'{edge[1]}', e'', e'\\t\\n', e'!!!', e'a b', NULL])),
+        t AS (SELECT text, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM d)
+        SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT),
+               coalesce(round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                     / nullif(length(text), 0), 4), 0.0),
+               coalesce(round(CAST(len(list_filter(toks, x -> x IN ({stop_in}))) AS DOUBLE)
+                     / nullif(len(toks), 0), 4), 0.0)
+        FROM t
+    """).fetchall()
+    # same multiset of (n_tokens, punct, stop) rows; NULL text row compares too
+    def key(row):
+        return tuple("∅" if v is None else str(v) for v in row)
+    assert sorted(map(key, got)) == sorted(map(key, want))
