@@ -351,6 +351,58 @@ def near_dedup(
     return df.join(drops, id_col, "left_anti")
 
 
+def embedding_near_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """The composed scale-safe EMBEDDING near-dedup pipeline — the vector
+    twin of :func:`near_dedup`:
+
+        hyperplane-LSH bucket (deterministic seeded planes)
+        -> exact cosine verify on bucket COLLISIONS only
+        -> keep-list (drop any vector with a verified dup of smaller id).
+
+    Returns the surviving rows of ``df``. Identical vectors always share a
+    bucket (same sign pattern), so exact copies are dropped with recall 1.0;
+    near-dups missed by bucketing are the standard LSH recall trade (raise
+    ``num_planes`` bands via multiple calls, or lower num_planes, to tune).
+
+    Nothing is O(n^2): candidates come from a self-equi-join on the compact
+    bucket key, and the cosine evaluates once per collision. At 100 TB the
+    corpus is written partitioned by bucket and the self-join is
+    partition-local.
+    """
+    from .similarity import _hyperplane, hyperplane_bucket
+
+    planes = [_hyperplane(s, dim) for s in range(num_planes)]
+    base = (
+        df.select(id_col, vec_col)
+        .withColumn("_b", hyperplane_bucket(F.col(vec_col), planes))
+        .withColumn("_n", norm(F.col(vec_col)))
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"), "_b"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"), "_b"
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).otherwise(F.lit(0.0))
+    drops = (
+        a.join(b, "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """SimHash: per token, md5 -> ``bits``-bit int; per bit, sum(+1/-1) over
     tokens; sign vector -> ``bits``-bit fingerprint. Near-dups differ in few

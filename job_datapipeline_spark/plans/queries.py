@@ -1393,6 +1393,41 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _D.embedding_near_dups(corpus, threshold=0.99)
 
 
+@register(
+    "dedup_embedding_composed",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    corpus AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM base
+    ),
+    b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket FROM corpus),
+    drops AS (
+        SELECT DISTINCT y.vec_id
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE round(list_dot_product(x.embedding, y.embedding) /
+                    (sqrt(list_dot_product(x.embedding, x.embedding)) *
+                     sqrt(list_dot_product(y.embedding, y.embedding))), 6) >= 0.99
+    )
+    SELECT c.vec_id FROM corpus c
+    WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)
+    """,
+    doc="Composed embedding near-dedup (the vector twin of near_dedup): "
+        "hyperplane-LSH bucket -> exact cosine verify on bucket collisions "
+        "only -> keep-lowest-id. Planted exact copies (+1e4 id offset) "
+        "always share their original's bucket, so all are dropped; the "
+        "oracle replays buckets, pairs, and the NOT EXISTS keep-list in "
+        "SQL. Candidates are bucket-local — nothing O(n^2).",
+)
+def dedup_embedding_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return _D.embedding_near_dedup(corpus, threshold=0.99).select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Sources: the CSV ingest path (S5+S6) exercised end-to-end over checked-in
 # fixture files shaped exactly like the reference scraper's per-run CSVs.

@@ -247,3 +247,27 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     s = {tuple(r) for r in salted.groupBy("c_mktsegment").count().collect()}
     p = {tuple(r) for r in plain.groupBy("c_mktsegment").count().collect()}
     assert s == p
+
+
+def test_embedding_near_dedup_composed(spark, sf_dir):
+    """Composed bucket->verify->keep-list: every planted exact copy is
+    dropped (identical vectors always share a bucket), every drop is sound
+    (has a verified >=threshold dup with smaller id), and survivors among
+    the copies are exactly the originals."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 100)
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    survivors = {
+        r["vec_id"] for r in dedup.embedding_near_dedup(corpus, threshold=0.99).collect()
+    }
+    # recall on planted dups: no +10000 copy can survive — its original is
+    # in the same bucket with cosine 1.0
+    assert not {v for v in survivors if v >= 10000}
+    # soundness: every dropped original must have a smaller-id near-dup
+    # verified by the brute-force pair list
+    brute = dedup.embedding_near_dups(corpus, threshold=0.99)
+    dup_ids = {r["id_b"] for r in brute.collect()}
+    dropped = {r["vec_id"] for r in base.collect()} - survivors
+    assert dropped <= dup_ids
