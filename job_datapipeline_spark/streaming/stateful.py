@@ -31,6 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -100,19 +101,34 @@ def sessionize_stateful(
             out.append(_row(user_id, start_us, last_us, n))
             state.remove()
         else:
-            cur = state.get if state.exists else None
-            for pdf in pdfs:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                for us in _to_us(pdf["ts"]):
-                    us = int(us)
-                    if cur is None:
-                        cur = (us, us, 1)
-                    elif us - cur[1] <= gap_us:
-                        cur = (cur[0], us, cur[2] + 1)
-                    else:
-                        out.append(_row(user_id, cur[0], cur[1], cur[2]))
-                        cur = (us, us, 1)
-            if cur is not None:
+            # a group's rows can arrive split across Arrow batches in any
+            # order — gather everything, sort ONCE, then sessionize
+            # vectorized (diff > gap marks boundaries); no per-event loop
+            chunks = list(pdfs)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            ts_us = _to_us(pdf["ts"]).to_numpy()
+            order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
+            us = ts_us[order]
+            sessions: list[tuple[int, int, int]] = []
+            if len(us):
+                breaks = np.nonzero(np.diff(us) > gap_us)[0]
+                starts = np.concatenate(([0], breaks + 1))
+                ends = np.concatenate((breaks, [len(us) - 1]))
+                sessions = [
+                    (int(us[s]), int(us[e]), int(e - s + 1))
+                    for s, e in zip(starts, ends)
+                ]
+            if state.exists:
+                s0, l0, n0 = state.get
+                if sessions and sessions[0][0] - l0 <= gap_us:
+                    _, le, ne = sessions[0]
+                    sessions[0] = (s0, max(l0, le), n0 + ne)
+                else:
+                    sessions.insert(0, (s0, l0, n0))
+            for s, last, n in sessions[:-1]:
+                out.append(_row(user_id, s, last, n))
+            if sessions:
+                cur = sessions[-1]
                 state.update(cur)
                 # timeout API is ms-granular: round UP so it never fires
                 # before the µs horizon; never set a timeout at/below the
