@@ -22,8 +22,10 @@ Layout:
     operators/    composite DataFrame->DataFrame operators (topk, dedup, ...)
     pipelines/    the clean and populate stage plans
     sources/      readers/sinks (csv/parquet/kv/json) + html extraction
-    streaming/    Structured Streaming pipelines over the events table
+    streaming/    Structured Streaming pipelines + applyInPandasWithState
+                  custom stateful operators over the events table
     plans/        the named query registry (Spark fn + DuckDB oracle SQL)
+    deploy.py     ships the package to executor Python workers (addPyFile)
 """
 
 __version__ = "0.1.0"
