@@ -29,7 +29,6 @@ below the final watermark. Both are plain SQL over the batch table.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -68,13 +67,19 @@ def _to_us(s: pd.Series) -> pd.Series:
     return s.astype("datetime64[ns]").astype("int64") // 1_000
 
 
-def _row(user_id: int, start_us: int, last_us: int, n: int) -> dict[str, Any]:
-    return {
-        "user_id": user_id,
-        "session_start": pd.to_datetime(start_us, unit="us"),
-        "session_end": pd.to_datetime(last_us, unit="us"),
-        "n_events": n,
-    }
+def _frame(
+    user_id: int, starts_us: np.ndarray, lasts_us: np.ndarray, counts: np.ndarray
+) -> pd.DataFrame:
+    """Vectorized emission frame — ONE pd.to_datetime per column, not per
+    session (scalar conversion was the hot path at ~1e5 emitted sessions)."""
+    return pd.DataFrame(
+        {
+            "user_id": np.full(len(starts_us), user_id, dtype="int64"),
+            "session_start": pd.to_datetime(starts_us, unit="us"),
+            "session_end": pd.to_datetime(lasts_us, unit="us"),
+            "n_events": np.asarray(counts, dtype="int64"),
+        }
+    )
 
 
 def sessionize_stateful(
@@ -95,48 +100,53 @@ def sessionize_stateful(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        out: list[dict[str, Any]] = []
         if state.hasTimedOut:
             start_us, last_us, n = state.get
-            out.append(_row(user_id, start_us, last_us, n))
             state.remove()
+            yield _frame(
+                user_id,
+                np.array([start_us], dtype="int64"),
+                np.array([last_us], dtype="int64"),
+                np.array([n], dtype="int64"),
+            )
+            return
+        # a group's rows can arrive split across Arrow batches in any
+        # order — gather everything, sort ONCE, then sessionize
+        # vectorized (diff > gap marks boundaries); no per-event loop
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ts_us = _to_us(pdf["ts"]).to_numpy()
+        order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
+        us = ts_us[order]
+        if len(us):
+            breaks = np.nonzero(np.diff(us) > gap_us)[0]
+            s_idx = np.concatenate(([0], breaks + 1))
+            e_idx = np.concatenate((breaks, [len(us) - 1]))
+            starts, lasts = us[s_idx], us[e_idx]
+            counts = e_idx - s_idx + 1
         else:
-            # a group's rows can arrive split across Arrow batches in any
-            # order — gather everything, sort ONCE, then sessionize
-            # vectorized (diff > gap marks boundaries); no per-event loop
-            chunks = list(pdfs)
-            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-            ts_us = _to_us(pdf["ts"]).to_numpy()
-            order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
-            us = ts_us[order]
-            sessions: list[tuple[int, int, int]] = []
-            if len(us):
-                breaks = np.nonzero(np.diff(us) > gap_us)[0]
-                starts = np.concatenate(([0], breaks + 1))
-                ends = np.concatenate((breaks, [len(us) - 1]))
-                sessions = [
-                    (int(us[s]), int(us[e]), int(e - s + 1))
-                    for s, e in zip(starts, ends)
-                ]
-            if state.exists:
-                s0, l0, n0 = state.get
-                if sessions and sessions[0][0] - l0 <= gap_us:
-                    _, le, ne = sessions[0]
-                    sessions[0] = (s0, max(l0, le), n0 + ne)
-                else:
-                    sessions.insert(0, (s0, l0, n0))
-            for s, last, n in sessions[:-1]:
-                out.append(_row(user_id, s, last, n))
-            if sessions:
-                cur = sessions[-1]
-                state.update(cur)
-                # timeout API is ms-granular: round UP so it never fires
-                # before the µs horizon; never set a timeout at/below the
-                # current watermark (Spark rejects it)
-                state.setTimeoutTimestamp(
-                    max(-(-(cur[1] + gap_us) // 1000), state.getCurrentWatermarkMs() + 1)
-                )
-        yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUT.fields])
+            starts = lasts = counts = np.empty(0, dtype="int64")
+        if state.exists:
+            s0, l0, n0 = state.get
+            if len(starts) and starts[0] - l0 <= gap_us:
+                starts[0] = s0
+                lasts[0] = max(l0, lasts[0])
+                counts[0] += n0
+            else:
+                starts = np.concatenate(([s0], starts))
+                lasts = np.concatenate(([l0], lasts))
+                counts = np.concatenate(([n0], counts))
+        if len(starts):
+            cur_last = int(lasts[-1])
+            state.update((int(starts[-1]), cur_last, int(counts[-1])))
+            # timeout API is ms-granular: round UP so it never fires
+            # before the µs horizon; never set a timeout at/below the
+            # current watermark (Spark rejects it)
+            state.setTimeoutTimestamp(
+                max(-(-(cur_last + gap_us) // 1000), state.getCurrentWatermarkMs() + 1)
+            )
+            if len(starts) > 1:
+                yield _frame(user_id, starts[:-1], lasts[:-1], counts[:-1])
 
     ensure_shipped(events.sparkSession)
     return (
