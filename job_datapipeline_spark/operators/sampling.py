@@ -1,0 +1,82 @@
+"""Deterministic corpus sampling operators.
+
+A 100 TB training-data pipeline subsamples constantly — per-source mixing
+ratios, eval holdouts, ablation slices — and the samples must be
+REPRODUCIBLE across runs, engines, and repartitions. Spark's built-in
+``df.sample`` is none of those things: it draws from a per-partition RNG, so
+the selected rows change with partitioning, task retries, and engine.
+
+Both operators here key the draw on md5 of a stable id instead:
+
+- :func:`deterministic_sample` — Bernoulli-style p-fraction sample: keep a
+  row iff the first 4 hex chars of ``md5(salt:key)`` sort below a threshold
+  string derived from the fraction. Fixed-width lowercase-hex string
+  comparison IS the numeric comparison, and md5 is engine-portable, so any
+  SQL engine replays the exact row set (the correctness oracle does).
+- :func:`stratified_sample_k` — exactly min(k, |group|) rows per group: the
+  k smallest ``md5(salt:key)`` values per group (ties by key). A
+  deterministic "reservoir" for fixed-size per-stratum holdouts, e.g. k
+  eval docs per language.
+
+Scale shape: the Bernoulli form is a pure map-side filter (pushes to the
+scan, no shuffle, no RNG state). The stratified form is one window over the
+group key — the same single-shuffle rank-filter pattern as topk.py, and at
+100 TB it benefits from the same pre-aggregated partial top-k AQE gives any
+rank<=k window filter.
+
+Reference parity note: the reference pipeline has no sampling stage (it
+processes <2k listings/run); these belong to the 100 TB training-data
+extension surface alongside dedup (operators/dedup.py) and quality scoring
+(functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 4  # 16-bit draw: fraction granularity 1/65536
+
+
+def _draw(key: Column, salt: str) -> Column:
+    """The portable uniform draw: first 4 hex chars of md5('salt:key')."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def sample_threshold_hex(fraction: float) -> str:
+    """The keep-threshold as a fixed-width lowercase hex string.
+
+    A row survives iff draw < threshold; floor keeps the realized fraction
+    <= requested. Exposed so the SQL oracle can embed the identical literal.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
+    return format(min(int(fraction * 16**_HEX_DIGITS), 16**_HEX_DIGITS - 1), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by md5(salt:key) — stable across
+    runs, partitionings, and engines. Change ``salt`` for an independent
+    re-draw (disjoint-ish sample from the same corpus)."""
+    return df.filter(_draw(F.col(key_col), salt) < F.lit(sample_threshold_hex(fraction)))
+
+
+def stratified_sample_k(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group: the k smallest
+    md5(salt:key) draws, ties broken by key for full determinism."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    w = Window.partitionBy(group_col).orderBy(
+        _draw(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

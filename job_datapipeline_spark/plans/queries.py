@@ -2010,3 +2010,239 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + hamming-band SimHash pairs + the composed corpus
+# curation pipeline — the training-data-pipeline extension surface. Every
+# draw/signature is md5-based so the oracle replays the exact row sets.
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling as _SMP  # noqa: E402
+
+
+def _sql_simhash_from_features(feature_sql: str, bits: int) -> str:
+    """CTE chain replaying operators/dedup.simhash over a feature table
+    ``(doc_id, feat)``: per feature, bit i of conv(md5-prefix-15-hex, 16,
+    10) lives in hex char 15 - i//4 at shift i%4; sign-sum per bit; positive
+    bits assemble the signature. Yields table ``ssig(doc_id, simhash)``."""
+    bit_terms = ", ".join(
+        f"sum(CASE WHEN (((strpos('0123456789abcdef', substring(hx, {15 - i // 4}, 1)) - 1) "
+        f">> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_sum = " + ".join(f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    return f"""
+sh15 AS (SELECT doc_id, substring(md5(feat), 1, 15) AS hx FROM ({feature_sql}) feats),
+sbits AS (SELECT doc_id, {bit_terms} FROM sh15 GROUP BY doc_id),
+ssig AS (SELECT doc_id, CAST({sig_sum} AS BIGINT) AS simhash FROM sbits)"""
+
+
+_SHP_BITS, _SHP_BANDS, _SHP_MAXHAM = 48, 4, 3
+_SHP_BAND_BITS = _SHP_BITS // _SHP_BANDS
+_SHP_MASK = (1 << _SHP_BAND_BITS) - 1
+_SHP_CAP = 1000  # pair-DEMO corpus bound (like dedup_embedding_pairs' cap)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_SHP_CAP}),
+    corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM base
+        UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' qq xq zq' AS text FROM base
+    ),
+    {_sql_shingles('corpus')},
+    {_sql_simhash_from_features('SELECT doc_id, shingle AS feat FROM sh', _SHP_BITS)},
+    sbanded AS (
+        SELECT doc_id, simhash, CAST(b AS INT) AS band,
+               (simhash >> (b * {_SHP_BAND_BITS})) & {_SHP_MASK} AS band_val
+        FROM ssig CROSS JOIN (SELECT unnest(range(0, {_SHP_BANDS})) AS b) bands
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sbanded a
+    JOIN sbanded b ON a.band = b.band AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SHP_MAXHAM}
+    """,
+    doc=f"SimHash near-dup pairs via hamming-band LSH over the planted "
+        f"corpus: {_SHP_BITS}-bit SHINGLE-feature signatures split into "
+        f"{_SHP_BANDS} bands (pigeonhole: hamming <= {_SHP_MAXHAM} < bands "
+        "always collides on a band), candidates verified with one "
+        "bit_count(xor). Shingle features because this corpus's ~31-word "
+        "vocabulary makes token-set signatures of unrelated docs collapse "
+        "together; n-gram features keep them ~uniform. O(collisions) end to "
+        "end — the candidate/verify stage simhash fingerprints alone were "
+        f"missing. Demo corpus bounded to base doc_id < {_SHP_CAP} (the "
+        "dedup_embedding_pairs convention for pair-demo queries).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < _SHP_CAP)
+    exact = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
+    )
+    corpus = base.unionByName(exact).unionByName(near)
+    return _D.simhash_pairs(
+        corpus,
+        bits=_SHP_BITS,
+        bands=_SHP_BANDS,
+        max_hamming=_SHP_MAXHAM,
+        shingle_n=3,
+    )
+
+
+_BERNOULLI_FRACTION = 0.25
+_BERNOULLI_SALT = "mix-v1"
+
+
+@register(
+    "corpus_sample_bernoulli",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5('{_BERNOULLI_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < '{_SMP.sample_threshold_hex(_BERNOULLI_FRACTION)}'
+    """,
+    doc="Deterministic Bernoulli corpus sample (~25%): keep iff the first 4 "
+        "hex chars of md5(salt:doc_id) sort below the fraction threshold. "
+        "Pure map-side filter — no shuffle, no RNG state, identical row set "
+        "on any engine/partitioning (unlike df.sample). The salt selects an "
+        "independent re-draw.",
+)
+def corpus_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return _SMP.deterministic_sample(
+        docs, "doc_id", _BERNOULLI_FRACTION, salt=_BERNOULLI_SALT
+    ).select("doc_id", "lang")
+
+
+_STRAT_K = 20
+_STRAT_SALT = "holdout-v1"
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substring(md5('{_STRAT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4),
+                            doc_id) AS rn
+        FROM documents) x
+    WHERE rn <= {_STRAT_K}
+    """,
+    doc=f"Deterministic stratified sample: exactly min({_STRAT_K}, group "
+        "size) docs per language — the k smallest md5(salt:doc_id) draws, "
+        "ties by doc_id. One window shuffle on the group key; the "
+        "reproducible per-stratum eval-holdout pattern.",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return _SMP.stratified_sample_k(
+        docs, "lang", "doc_id", _STRAT_K, salt=_STRAT_SALT
+    ).select("doc_id", "lang")
+
+
+_CUR_SALT = "cur-v1"
+_CUR_FRACTION = 0.5
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH {_SQL_CORPUS},
+    t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM corpus
+    ),
+    scored AS (
+        SELECT doc_id, text, toks, {", ".join(_LANGID_SQL_SCORES)}
+        FROM t
+    ),
+    feat AS (
+        SELECT doc_id,
+               CASE
+                 WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+                 WHEN hits_de >= greatest(hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+                 WHEN hits_en >= greatest(hits_es, hits_fr, hits_zh) THEN 'en'
+                 WHEN hits_es >= greatest(hits_fr, hits_zh) THEN 'es'
+                 WHEN hits_fr >= hits_zh THEN 'fr'
+                 ELSE 'zh'
+               END AS pred,
+               CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+               coalesce(round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                     / nullif(length(text), 0), 4), 0.0) AS pr,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM scored
+    ),
+    filt AS (
+        SELECT doc_id, n_tokens, fp FROM feat
+        WHERE pred = 'en' AND n_tokens >= 10 AND pr <= 0.2
+    ),
+    ded AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM filt) x
+        WHERE rn = 1
+    )
+    SELECT doc_id, n_tokens FROM ded
+    WHERE substring(md5('{_CUR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < '{_SMP.sample_threshold_hex(_CUR_FRACTION)}'
+    """,
+    doc="The composed corpus-curation pipeline over the planted-duplicate "
+        "corpus: lang-ID filter (predicted en) -> quality gates (>=10 "
+        "tokens, punct ratio <= 0.2) -> exact dedup (keep lowest id per "
+        "content fingerprint; the planted exact copies drop here) -> "
+        "deterministic 50% subsample. Filters and fingerprint are map-side; "
+        "the only shuffles are the dedup window and none for the sample — "
+        "the canonical pretraining-data funnel as ONE declarative plan.",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_corpus(spark, sf_dir)
+    feat = corpus.select(
+        "doc_id",
+        _T.lang_id(F.col("text")).alias("pred"),
+        _T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(_T.punct_ratio(F.col("text")), 4).alias("pr"),
+        _T.fingerprint(F.col("text")).alias("fp"),
+    )
+    filt = feat.filter(
+        (F.col("pred") == "en") & (F.col("n_tokens") >= 10) & (F.col("pr") <= 0.2)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ded = (
+        filt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    return _SMP.deterministic_sample(ded, "doc_id", _CUR_FRACTION, salt=_CUR_SALT)
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Price histogram: fixed-width binning (floor of price/5000) with "
+        "per-bin counts and quantity mass — the scan-then-one-hash-agg "
+        "profile shape. Quantities are whole numbers so the double sum is "
+        "exact and order-independent.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

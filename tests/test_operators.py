@@ -271,3 +271,70 @@ def test_embedding_near_dedup_composed(spark, sf_dir):
     dup_ids = {r["id_b"] for r in brute.collect()}
     dropped = {r["vec_id"] for r in base.collect()} - survivors
     assert dropped <= dup_ids
+
+
+def test_simhash_pairs_finds_planted_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today yes"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated text about spark query engines and shuffles everywhere now"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, bits=48, bands=4, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # exact copies: identical signature
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated text
+
+
+def test_simhash_pairs_guards_parameters(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_pairs(df, bits=50, bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(df, bits=48, bands=4, max_hamming=4)
+
+
+def test_deterministic_sample_stable_and_sized(spark, sf_dir):
+    from job_datapipeline_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = sorted(
+        r["doc_id"] for r in sampling.deterministic_sample(docs, "doc_id", 0.25).collect()
+    )
+    s2 = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            docs.repartition(7), "doc_id", 0.25
+        ).collect()
+    )
+    assert s1 == s2  # identical under repartition (df.sample is not)
+    assert 0.15 * n < len(s1) < 0.35 * n
+    s_other = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs, "doc_id", 0.25, salt="x").collect()
+    )
+    assert s_other != s1  # salt re-draws
+
+
+def test_stratified_sample_exact_k_per_group(spark, sf_dir):
+    from job_datapipeline_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_k(docs, "lang", "doc_id", 5)
+    per_group = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(v == 5 for v in per_group.values())
+    # deterministic across invocations
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample_k(docs, "lang", "doc_id", 5).collect()
+    )
+    assert a == b
