@@ -18,8 +18,11 @@ Layout:
     session.py    SparkSession factory (AQE on, UTC, sane shuffle sizing)
     schemas.py    explicit StructTypes (jobs table + testdata tables)
     catalog.py    table loading / temp-view registration
-    functions/    column-expression libraries (cleaning, text, vectors)
-    operators/    composite DataFrame->DataFrame operators (topk, dedup, ...)
+    functions/    column-expression libraries (cleaning, text incl. quality/
+                  lang-ID/repetition/PII-redaction, vectors)
+    operators/    composite DataFrame->DataFrame operators (topk, dedup incl.
+                  minhash-LSH + simhash hamming bands, similarity, asof,
+                  skew, deterministic sampling)
     pipelines/    the clean and populate stage plans
     sources/      readers/sinks (csv/parquet/kv/json) + html extraction
     streaming/    Structured Streaming pipelines + applyInPandasWithState

@@ -124,3 +124,36 @@ def lang_id(text: Column) -> Column:
         for i, s in enumerate(scores)
     ]))
     return F.when(best.hits > 0, best.code).otherwise(F.lit("und"))
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total (the
+    Gopher-rules-style within-document repetition signal — templated or
+    looping text scores high). 0.0 for docs shorter than ``n`` tokens."""
+    grams = word_ngrams(tokenize(text), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+# (pattern, replacement) chain for PII redaction, applied in order: email
+# first (its local part would otherwise feed the phone pattern), then phone,
+# then bare IPv4. Patterns are RE2-and-Java compatible so an external SQL
+# engine applies the identical chain.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails / phone numbers / IPv4 addresses with typed tags — the
+    standard pre-training scrub pass. A regexp_replace chain (JVM-side,
+    streaming-safe); extend PII_PATTERNS for additional classes."""
+    out = text
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out

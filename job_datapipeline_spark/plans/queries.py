@@ -2246,3 +2246,145 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-filter text analysis: within-doc repetition, PII redaction
+# (planted PII so the scrub is observable), TF-IDF salient terms.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+                    ELSE [] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+    doc="Within-document repetition ratio (1 - distinct/total word 3-grams) "
+        "— the Gopher-style templated-text signal, expression-only and "
+        "usable as a pushed-down corpus filter.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(_T.repetition_ratio(F.col("text")), 4).alias("rep_ratio")
+    )
+
+
+# The synthetic corpus contains no real PII, so the redaction query PLANTS a
+# deterministic contact line per doc (email / phone / IP round-robin by
+# doc_id) and scrubs it — the same construction on both engines, like the
+# planted-duplicate corpora.
+def _pii_suffix_spark() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" contact bob.smith+hr@example-careers.com now"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" call +1 415 555 0100 today"))
+        .otherwise(F.lit(" server 10.42.7.19 logged it"))
+    )
+
+
+_PII_SUFFIX_SQL = """CASE
+    WHEN doc_id % 3 = 0 THEN ' contact bob.smith+hr@example-careers.com now'
+    WHEN doc_id % 3 = 1 THEN ' call +1 415 555 0100 today'
+    ELSE ' server 10.42.7.19 logged it' END"""
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g'),
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS redacted
+    FROM planted
+    """,
+    doc="PII redaction pass (email -> phone -> IPv4 regexp_replace chain, "
+        "RE2/Java-compatible patterns) over a corpus with deterministically "
+        "planted contact lines. The scrub is a map-side expression chain — "
+        "streaming-safe, no UDF.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), _pii_suffix_spark()).alias("text")
+    )
+    return planted.select(
+        "doc_id", _T.redact_pii(F.col("text")).alias("redacted")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents) u
+        GROUP BY doc_id, tok
+    ),
+    idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df), 4) AS score
+        FROM tf JOIN idf USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, score, rank FROM (
+        SELECT doc_id, tok, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS rank
+        FROM scored) x
+    WHERE rank <= 3
+    """,
+    doc="Top-3 TF-IDF terms per document: token-frequency agg, "
+        "document-frequency agg (|vocab| rows -> AQE broadcasts it), corpus "
+        "size via a broadcast 1-row cross join (never a driver collect), "
+        "score rounded BEFORE ranking so cross-engine ln() ulp noise cannot "
+        "flip ranks, deterministic tok tiebreak. Two shuffles total (tf agg "
+        "+ per-doc window).",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(idf, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "score", "rank")
+    )

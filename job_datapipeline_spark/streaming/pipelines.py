@@ -107,6 +107,52 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def view_click_attribution_stream(
+    events: DataFrame,
+    horizon_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click attributed to prior views by
+    the same user within ``horizon_minutes`` — the classic streaming
+    attribution shape (and the stream-stream-join surface of the engine).
+
+    Both sides carry a watermark and the join condition bounds event time on
+    both ends, so Spark can size the join state buffer and evict rows whose
+    match window has passed: state stays bounded at any input rate. Without
+    the time bound the buffers grow forever — this is the join-condition
+    contract Structured Streaming requires for append-mode stream-stream
+    joins. Batch-equivalence is asserted in tests by running the identical
+    frame both ways.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if views.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {int(horizon_minutes)} minutes"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
 def available_now_to_parquet(
     sdf: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
 ) -> StreamingQuery:

@@ -175,3 +175,43 @@ def test_text_edge_contract_matches_oracle_guards(spark):
     def key(row):
         return tuple("∅" if v is None else str(v) for v in row)
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_repetition_ratio_templated_vs_varied(spark):
+    from job_datapipeline_spark.functions import text as T
+
+    rows = [
+        ("rep", "buy now " * 10),          # one 3-gram pattern repeated
+        ("varied", "a b c d e f g h i j"),  # all 3-grams unique
+        ("short", "one two"),               # < n tokens -> 0.0
+        ("empty", ""),
+    ]
+    out = {
+        r["k"]: r["rr"]
+        for r in spark.createDataFrame(rows, "k string, text string")
+        .select("k", F.round(T.repetition_ratio(F.col("text")), 4).alias("rr"))
+        .collect()
+    }
+    assert out["varied"] == 0.0 and out["short"] == 0.0 and out["empty"] == 0.0
+    assert out["rep"] > 0.8
+
+
+def test_redact_pii_masks_each_class(spark):
+    from job_datapipeline_spark.functions import text as T
+
+    rows = [
+        ("mail me at jane.doe+x@corp.example.org please",),
+        ("call +44 20 7946 0958 or 555 867 5309 now",),
+        ("gateway 192.168.1.254 timed out",),
+        ("clean text stays untouched",),
+    ]
+    got = [
+        r["red"]
+        for r in spark.createDataFrame(rows, "text string")
+        .select(T.redact_pii(F.col("text")).alias("red"))
+        .collect()
+    ]
+    assert got[0] == "mail me at <EMAIL> please"
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == "gateway <IP> timed out"
+    assert got[3] == "clean text stays untouched"

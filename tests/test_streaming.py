@@ -178,3 +178,37 @@ def test_stateful_sessionize_merges_across_batches(spark, sf_dir, tmp_path):
         (F.col("session_start") < F.lit(cut)) & (F.col("session_end") >= F.lit(cut))
     ).count()
     assert straddling > 0
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir, tmp_path):
+    # append mode: only pairs whose watermark horizon has passed are final,
+    # but AvailableNow over a finite directory runs a no-data batch at the
+    # end that advances the watermark to (max ts - delay), so pairs older
+    # than that horizon are all emitted; compare against the batch twin
+    # restricted to the same horizon
+    stream = P.view_click_attribution_stream(
+        P.read_events_stream(spark, events_dir + "/events.parquet")
+    )
+    P.available_now_to_memory(stream, "attr_mem", str(tmp_path / "ckpt"), output_mode="append")
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.table("attr_mem").collect()
+    }
+    ev = table(spark, events_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = P.view_click_attribution_stream(ev)
+    want_all = {
+        (r["user_id"], r["view_id"], r["click_id"]) for r in batch.collect()
+    }
+    # streamed pairs must be a subset of batch pairs and cover everything
+    # below the final watermark horizon
+    assert got <= want_all
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("interval 1 hour")).alias("h")
+    ).collect()[0]["h"]
+    want_final = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in batch.filter(
+            (F.col("view_ts") < F.lit(horizon)) & (F.col("click_ts") < F.lit(horizon))
+        ).collect()
+    }
+    assert want_final <= got and len(want_final) > 0
