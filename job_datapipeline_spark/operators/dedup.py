@@ -458,6 +458,90 @@ def simhash(
     return agg.select(id_col, sig.alias("simhash"))
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    transitive-closure pass that turns pairwise near-dup EDGES into dup
+    CLUSTERS (``near_dedup`` alone is greedy-pairwise: for chains a~b~c
+    with a!~c it keeps both a and c; components assigns all three one
+    cluster id).
+
+    Each iteration is one distributed shuffle join: every node adopts the
+    minimum label among itself and its neighbors; fixpoint when no label
+    shrinks. Converges in O(component diameter) iterations — near-dup
+    clusters are short chains (diameter <= a few hops), so 2-4 iterations in
+    practice; ``max_iterations`` bounds pathological inputs (a 100 TB run
+    on adversarial chain graphs would switch to the O(log n) large-star/
+    small-star variant). The per-iteration label frame (two longs per node)
+    is localCheckpoint'd: iterative lineage otherwise grows a plan Catalyst
+    re-optimizes from scratch each round. The ONLY driver-side value is the
+    scalar changed-count that decides convergence — labels themselves never
+    leave the cluster.
+
+    Returns (id_col, component_id) where component_id = min node id in the
+    component; isolated nodes keep their own id.
+    """
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    adj = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            adj.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.withColumnRenamed("comp", "old")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("old"), F.coalesce("nbr_comp", F.col("old"))).alias("comp"),
+                "old",
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("comp") < F.col("old")).count()
+        labels = new_labels.drop("old")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("comp").alias("component_id")
+    )
+
+
+def near_dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The cluster-complete composed pipeline: MinHash -> LSH candidates ->
+    exact Jaccard verify -> verified pairs as edges -> connected components.
+    Returns (id, component_id): every document labeled with its dup-cluster
+    representative (min id), transitively closed — the grouping
+    ``near_dedup``'s greedy keep-list approximates."""
+    rows_per_band = max(num_hashes // bands, 1)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).localCheckpoint()
+    edges = jaccard_verify(df, cands, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    return connected_components(df.select(id_col), edges, id_col)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -2388,3 +2388,81 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "tok", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive near-dup clustering: LSH-verified pairs as edges -> iterative
+# min-label propagation (Spark) vs WITH RECURSIVE reachability (oracle) —
+# an oracle-checked ITERATIVE algorithm.
+# ---------------------------------------------------------------------------
+
+_CC_CAP = 1000
+
+
+def _sql_capped_corpus(cap: int) -> str:
+    return f"""
+base AS (SELECT doc_id, text FROM documents WHERE doc_id < {cap}),
+corpus AS (
+    SELECT doc_id, text FROM base
+    UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM base
+    UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' qq xq zq' AS text FROM base
+)"""
+
+
+def _capped_planted(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < cap)
+    exact = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_sql_capped_corpus(_CC_CAP)}, {_sql_shingles('corpus')},
+    {_SQL_SIG}, {_SQL_BANDED_CAND},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    edges AS (
+        SELECT i.id_a, i.id_b FROM cinter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) >= 0.8
+    ),
+    bi AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.a, bi.dst FROM reach r JOIN bi ON bi.src = r.b
+    )
+    SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a
+    """,
+    doc="Transitive near-dup clusters over the planted corpus: the same "
+        "MinHash->LSH->Jaccard-verified pairs as dedup_near_composed become "
+        "an edge list, then iterative min-label propagation assigns every "
+        "doc its component representative (planted triples base/exact/near "
+        "collapse to one cluster id; singletons keep their own). The oracle "
+        "replays the fixpoint as WITH RECURSIVE reachability + min — an "
+        "iterative Spark algorithm checked exactly by recursive SQL. Demo "
+        f"corpus bounded to base doc_id < {_CC_CAP}.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _D.near_dedup_clusters(
+        _capped_planted(spark, sf_dir, _CC_CAP),
+        num_hashes=_NDD_HASHES,
+        bands=_NDD_BANDS,
+        threshold=0.8,
+    )

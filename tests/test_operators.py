@@ -338,3 +338,32 @@ def test_stratified_sample_exact_k_per_group(spark, sf_dir):
         for r in sampling.stratified_sample_k(docs, "lang", "doc_id", 5).collect()
     )
     assert a == b
+
+
+def test_connected_components_transitive_chain(spark):
+    # a~b and b~c but NOT a~c: greedy near_dedup keeps a and c separate;
+    # components must put all three in one cluster labeled min id
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path graph needs several propagation rounds; fixpoint must
+    # still label everything with the global min
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
