@@ -2466,3 +2466,118 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_NDD_BANDS,
         threshold=0.8,
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface depth: rank-family windows, explicit GROUPING SETS, and
+# time-series gap fill (the hypertable-rollup shape: dense hourly grid with
+# zeros where no events landed).
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS cheapest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="The rank-family window functions (ntile / percent_rank / cume_dist "
+        "/ first_value) per customer on a deterministic (price, orderkey) "
+        "order — one shuffle on the partition key, every rank definition "
+        "exact-rational so cross-engine doubles are bit-identical.",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (finer than rollup/cube: an arbitrary "
+        "combination list) with a grouping-id disambiguating real NULLs "
+        "from subtotal rows — single pass, one shuffle, partial aggregation "
+        "per set handled by Catalyst's Expand.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    ),
+    agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour, coalesce(a.n, 0) AS n,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour
+    """,
+    doc="Hourly gap fill (the hypertable/time_bucket_gapfill shape): dense "
+        "(event_type x hour) grid via sequence() between the corpus bounds, "
+        "left join the rollup, zero-fill the holes. The grid is generated "
+        "from a broadcast 1-row bounds frame x tiny type dim — no driver "
+        "loop; at 100 TB only the rollup side scales and the join stays "
+        "broadcast.",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct().coalesce(1)
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    return (
+        grid.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )

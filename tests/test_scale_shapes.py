@@ -77,3 +77,47 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     ).first()
     rel_err = abs(row["approx"] - row["exact"]) / row["exact"]
     assert rel_err < 0.05, f"approx {row['approx']} vs exact {row['exact']}"
+
+
+def test_bernoulli_sample_is_shuffle_free(spark, sf_dir):
+    # the deterministic sample is a pure map-side filter: scan -> filter ->
+    # project, with NO exchange anywhere (df.sample-style RNG state or any
+    # shuffle would break partitioning-independence)
+    plan = _plan(REGISTRY["corpus_sample_bernoulli"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    # exactly one exchange: the window over the stratum key
+    plan = _plan(REGISTRY["corpus_sample_stratified"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    # candidate generation must be the banded equi-join, never a cross join
+    plan = _plan(REGISTRY["dedup_simhash_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_small_sides(spark, sf_dir):
+    # the document-frequency dim (|vocab| rows) and the 1-row corpus size
+    # must broadcast; the big tf side must never be the build side of a
+    # cartesian
+    plan = _plan(REGISTRY["text_tfidf_top_terms"].fn(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    # GROUPING SETS must compile to one Expand + aggregate, not a union of
+    # per-set scans
+    plan = _plan(REGISTRY["agg_grouping_sets"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_gapfill_no_cartesian_on_data_side(spark, sf_dir):
+    # the dense grid comes from a broadcast 1-row bounds frame x tiny type
+    # dim; the events-side rollup must join it hash-wise
+    plan = _plan(REGISTRY["events_gapfill_hourly"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
