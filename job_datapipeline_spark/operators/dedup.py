@@ -458,6 +458,63 @@ def simhash(
     return agg.select(id_col, sig.alias("simhash"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash scheme): hash every character k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum — the
+    selected mins are position-robust local fingerprints whose overlap
+    localizes COPIED SPANS between documents (minhash answers "how similar";
+    winnowing answers "which parts match").
+
+    Guarantees: any shared substring of length >= w + k - 1 contributes at
+    least one identical fingerprint to both documents.
+
+    Fingerprints are 8-hex-char md5 prefixes kept as STRINGS: lexicographic
+    min over lowercase hex equals numeric min, and every engine with md5()
+    replays the selection bit-identically (no integer-conversion gymnastics).
+    Entirely map-side expressions — no explode before the final distinct,
+    no shuffle, no UDF. The k-gram hash array is referenced by BOTH the
+    length guard and the window-min transform: the double reference keeps
+    it materialized per row (a single-referenced alias would be inlined
+    into the window lambda and the md5 pipeline re-evaluated per window —
+    the Catalyst trap measured at 50x on simhash).
+
+    Docs shorter than k + w - 1 characters have no full window and emit no
+    fingerprints (mirrored by the oracle's length guard).
+    """
+    # explicit length guard: sequence(1, 0) in Spark is DESCENDING [1, 0]
+    # (step defaults to -1 when start > stop), not empty
+    hs = df.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN length(lower({text_col})) >= {k} THEN "
+            f"transform(sequence(1, length(lower({text_col})) - {k - 1}), "
+            f"i -> substring(md5(substring(lower({text_col}), i, {k})), 1, 8)) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("_hs"),
+    )
+    return (
+        hs.filter(F.size("_hs") >= w)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(_hs) - {w - 1}), "
+                        f"j -> array_min(slice(_hs, j, {w})))"
+                    )
+                )
+            ).alias("fingerprint"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -2581,3 +2581,165 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-based window frames, order-independent exact-moment statistics, and
+# edit-distance dedup verification.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS spend_7d
+    FROM orders
+    """,
+    doc="Value-based RANGE frame: trailing-7-day spend per customer over "
+        "the order-date day number — every order in the window, including "
+        "same-day ties, regardless of row count (a ROWS frame cannot "
+        "express this). One shuffle on the partition key.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").withColumn(
+        "_day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("_day").rangeBetween(-6, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
+    )
+
+
+@register(
+    "agg_moments_exact",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS px,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(px) AS DOUBLE) AS sx, CAST(sum(px * px) AS DOUBLE) AS sxx,
+               CAST(sum(qty) AS DOUBLE) AS sy, CAST(sum(qty * qty) AS DOUBLE) AS syy,
+               CAST(sum(px * qty) AS DOUBLE) AS sxy
+        FROM d GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sx / n, 4) AS price_mean,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4) AS price_stddev,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS price_qty_corr
+    FROM s
+    """,
+    doc="Mean / sample stddev / correlation per return flag computed from "
+        "EXACT decimal sums (sum/sum-of-squares/cross-sum in DECIMAL(18,2) "
+        "arithmetic), with the floating-point math applied once at the end. "
+        "Native stddev/corr aggregates sum doubles in partition order — "
+        "nondeterministic across engines AND across Spark runs; exact "
+        "moments make the statistics bit-stable at any parallelism. Single "
+        "hash aggregate, map-side partials intact.",
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("px"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("px").cast("double").alias("sx"),
+        F.sum(F.col("px") * F.col("px")).cast("double").alias("sxx"),
+        F.sum("qty").cast("double").alias("sy"),
+        F.sum(F.col("qty") * F.col("qty")).cast("double").alias("syy"),
+        F.sum(F.col("px") * F.col("qty")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sx") / n, 4).alias("price_mean"),
+        F.round(F.sqrt(var_x / (n * (n - F.lit(1.0)))), 4).alias("price_stddev"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(var_x) * F.sqrt(var_y)),
+            4,
+        ).alias("price_qty_corr"),
+    )
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+    WITH {_sql_capped_corpus(_CC_CAP)}, {_sql_shingles('corpus')},
+    {_SQL_SIG}, {_SQL_BANDED_CAND}
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN corpus a ON a.doc_id = c.id_a
+    JOIN corpus b ON b.doc_id = c.id_b
+    WHERE levenshtein(a.text, b.text) <= 12
+    """,
+    doc="Edit-distance verification of LSH candidate pairs: the "
+        "character-level alternative to Jaccard verify (catches "
+        "reorder-free edits Jaccard over-penalizes). levenshtein() is "
+        "JVM-native in Spark and built into DuckDB, so the oracle replays "
+        "it exactly; cost is O(candidates x len^2), never corpus-quadratic "
+        "— planted exact copies score 0, near copies the 9-char suffix "
+        f"length. Demo corpus bounded to base doc_id < {_CC_CAP}.",
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _capped_planted(spark, sf_dir, _CC_CAP)
+    sigs = _D.minhash_signatures(corpus, num_hashes=_NDD_HASHES)
+    cands = _D.lsh_candidate_pairs(
+        sigs, bands=_NDD_BANDS, rows_per_band=_NDD_RPB
+    ).localCheckpoint()
+    a = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    b = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("bigint"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH hs AS (
+        SELECT doc_id,
+               [substring(md5(lower(text)[i:i+4]), 1, 8)
+                FOR i IN range(1, length(text) - 5 + 2)] AS h
+        FROM documents
+        WHERE length(text) >= 5 AND doc_id < 2000
+    )
+    SELECT doc_id, unnest(list_distinct(
+               [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 4 + 2)]
+           )) AS fingerprint
+    FROM hs
+    WHERE len(h) >= 4
+    """,
+    doc="Winnowing fingerprints (the MOSS rolling-hash scheme): char 5-gram "
+        "md5 prefixes, sliding 4-window minimum, distinct selected mins per "
+        "doc — position-robust local fingerprints that localize copied "
+        "spans (any shared substring >= 8 chars yields a shared "
+        "fingerprint). String-min over hex so both engines replay the "
+        "selection without integer conversion. Fully map-side/shuffle-free "
+        "(an explode+window-min form is 2x faster locally but shuffles the "
+        "whole position stream — the wrong trade at 100 TB). Demo bounded "
+        "to doc_id < 2000.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return _D.winnow_fingerprints(docs, k=5, w=4)

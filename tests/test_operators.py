@@ -367,3 +367,29 @@ def test_connected_components_long_chain_converges(spark):
         for r in dedup.connected_components(nodes, edges).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # guarantee: a shared substring of length >= w + k - 1 (= 8 here)
+    # contributes at least one identical fingerprint to both docs
+    shared = "the stolen paragraph of text"
+    rows = [
+        (1, "intro alpha " + shared + " outro beta"),
+        (2, "completely different framing " + shared + " and ending"),
+        (3, "no overlap with anything here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=5, w=4)
+    by_doc = {
+        i: {r["fingerprint"] for r in fps.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    # doc 3 shares common English fragments (' the ', ' at a') shorter than
+    # the guarantee; the overlap signal must still be far weaker
+    assert len(by_doc[1] & by_doc[2]) > len(by_doc[1] & by_doc[3])
+
+
+def test_winnow_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame([(1, "tiny"), (2, "x"), (3, "")], "doc_id long, text string")
+    assert dedup.winnow_fingerprints(df, k=5, w=4).count() == 0
