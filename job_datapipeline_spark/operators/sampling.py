@@ -80,3 +80,67 @@ def stratified_sample_k(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def split_assign(
+    df: DataFrame, key_col: str, bounds: list[tuple[str, float]], salt: str = ""
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test, ...) — adds a
+    ``split`` string column, drops nothing.
+
+    ``bounds`` is an ordered list of (name, cumulative_fraction) with the
+    last fraction == 1.0: a row lands in the first split whose cumulative
+    threshold its md5(salt:key) draw sorts below. The same hex-threshold
+    trick as :func:`deterministic_sample`, so split membership is stable
+    across runs/engines/partitionings and any SQL engine replays it with a
+    CASE expression. Pure map-side — no shuffle.
+    """
+    if len(bounds) < 2:
+        raise ValueError("need at least 2 splits")
+    fracs = [f for _, f in bounds]
+    if sorted(fracs) != fracs or fracs[-1] != 1.0:
+        raise ValueError(f"bounds must be ascending and end at 1.0 (got {fracs})")
+    draw = _draw(F.col(key_col), salt)
+    expr = F.lit(bounds[-1][0])
+    for name, frac in reversed(bounds[:-1]):
+        expr = F.when(draw < F.lit(sample_threshold_hex(frac)), name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    capacity: int,
+    salt: str = "",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Chunk a deterministically-shuffled corpus into fixed-token-budget
+    training sequences — adds ``bucket`` (int) and ``seq`` (bigint) columns.
+
+    The distributed form of "shuffle the corpus, then greedily fill
+    512-token packs": rows are first scattered into ``n_buckets`` hash
+    buckets (first hex char of the md5 draw), then within each bucket
+    ordered by the full draw and assigned to pack ``floor(running_start /
+    capacity)``. Buckets are independent, so the single window shuffle
+    parallelizes across them instead of serializing the whole corpus
+    through one cumulative sum — the property that keeps this runnable at
+    100 TB. Docs may straddle a pack boundary (standard chunked-packing
+    approximation); a doc longer than ``capacity`` just owns several packs.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1 (got {capacity})")
+    if not 1 <= n_buckets <= 16:
+        raise ValueError(f"n_buckets must be in [1, 16] (got {n_buckets})")
+    draw = _draw(F.col(key_col), salt)
+    bucket = F.conv(F.substring(draw, 1, 1), 16, 10).cast("int") % n_buckets
+    out = df.withColumn("_draw", draw).withColumn("bucket", bucket)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_draw", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    return out.withColumn(
+        "seq", F.floor(start / F.lit(capacity)).cast("bigint")
+    ).drop("_draw")

@@ -2743,3 +2743,206 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     return _D.winnow_fingerprints(docs, k=5, w=4)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: splits, packing, decontamination, LM scoring
+# ---------------------------------------------------------------------------
+
+from ..operators import decontam as _DC  # noqa: E402
+
+_SPLIT_SALT = "split-v1"
+_SPLIT_BOUNDS = [("train", 0.8), ("val", 0.9), ("test", 1.0)]
+_SQL_TOKEN_COUNT = (
+    "CAST(CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT)"
+)
+
+
+@register(
+    "corpus_split_train_eval",
+    oracle=f"""
+    WITH t AS (
+        SELECT CASE
+                 WHEN substring(md5('{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                      < '{_SMP.sample_threshold_hex(0.8)}' THEN 'train'
+                 WHEN substring(md5('{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                      < '{_SMP.sample_threshold_hex(0.9)}' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               {_SQL_TOKEN_COUNT} AS n_tokens
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM t GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by md5(salt:doc_id) "
+        "threshold (operators/sampling.split_assign) + per-split doc/token "
+        "totals. Map-side CASE — no shuffle for the assignment itself; "
+        "membership is stable across runs, engines, and repartitions, which "
+        "is the property a training-data split must have.",
+)
+def corpus_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assigned = _SMP.split_assign(docs, "doc_id", _SPLIT_BOUNDS, salt=_SPLIT_SALT)
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(_T.token_count(F.col("text"))).alias("sum_tokens"),
+    )
+
+
+_PACK_SALT = "pack-v1"
+_PACK_CAPACITY = 512
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_SQL_TOKEN_COUNT} AS n_tokens,
+               substring(md5('{_PACK_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4) AS draw
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens, draw,
+               CAST(strpos('0123456789abcdef', substring(draw, 1, 1)) - 1 AS INT) AS bucket
+        FROM t
+    ), s AS (
+        SELECT bucket, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY bucket ORDER BY draw, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start
+        FROM b
+    )
+    SELECT bucket,
+           CAST(floor(CAST(start AS DOUBLE) / {_PACK_CAPACITY}) AS BIGINT) AS seq,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM s GROUP BY bucket, seq
+    """,
+    doc=f"Sequence packing for training: deterministic md5 shuffle -> 16 "
+        f"independent hash buckets -> running token count -> pack id "
+        f"floor(start/{_PACK_CAPACITY}) (operators/sampling.pack_sequences). "
+        "The bucket dimension is what keeps the cumulative sum parallel at "
+        "100 TB — one window shuffle partitioned 16 ways instead of a "
+        "corpus-wide serial prefix sum. Output is per-pack doc/token "
+        "totals.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = _SMP.pack_sequences(
+        docs, "doc_id", "n_tokens", _PACK_CAPACITY, salt=_PACK_SALT, n_buckets=16
+    )
+    return packed.groupBy("bucket", "seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
+_BENCH_SALT = "bench-v1"
+_BENCH_FRACTION = 0.10
+_DECON_N = 8
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5('{_BENCH_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < '{_SMP.sample_threshold_hex(_BENCH_FRACTION)}'
+    ), corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text || ' zz tail marker' AS text FROM bench
+    ), cg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {_DECON_N}
+                               THEN [array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                                     FOR i IN range(1, len(t) - {_DECON_N - 2})]
+                               ELSE [] END) AS gram
+            FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM corpus) x) u
+    ), bg AS (
+        SELECT DISTINCT doc_id AS bench_id, gram FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {_DECON_N}
+                               THEN [array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                                     FOR i IN range(1, len(t) - {_DECON_N - 2})]
+                               ELSE [] END) AS gram
+            FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM bench) x) u
+    )
+    SELECT doc_id,
+           count(DISTINCT gram) AS n_shared_grams,
+           count(DISTINCT bench_id) AS n_bench_docs
+    FROM cg JOIN bg USING (gram)
+    WHERE doc_id <> bench_id
+    GROUP BY doc_id
+    """,
+    doc=f"Benchmark decontamination (operators/decontam.ngram_overlap_flags): "
+        f"flag corpus docs sharing any word {_DECON_N}-gram with a held-out "
+        "benchmark set — the GPT-3-style n-gram overlap hygiene filter. The "
+        "benchmark is a deterministic 10% md5 sample; contaminated docs are "
+        "planted as benchmark texts with a tail suffix (testdata texts are "
+        "unique, so organic overlap cannot occur). Join key is md5(gram) — "
+        "fixed-width shuffle payload; the benchmark side broadcasts at real "
+        "corpus:benchmark ratios.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = _SMP.deterministic_sample(docs, "doc_id", _BENCH_FRACTION, salt=_BENCH_SALT)
+    planted = bench.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz tail marker")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return _DC.ngram_overlap_flags(corpus, bench, n=_DECON_N)
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents) x
+        WHERE tok <> ''
+    ), vocab AS (
+        SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+    ), tot AS (
+        SELECT count(*) AS total FROM tk
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(total AS DOUBLE) / cnt)), 4) AS avg_nll
+    FROM tk JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram-LM document scoring (the CCNet/CC-style statistical quality "
+        "filter): fit token frequencies over the corpus itself, score each "
+        "doc by mean negative log-probability of its tokens — low = "
+        "boilerplate/repetitive, high = rare-token gibberish; filter both "
+        "tails. Two hash aggregations plus one shuffle join on token; the "
+        "1-row total broadcasts. No UDF anywhere.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(_T.tokenize(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        tk.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("total").cast("double") / F.col("cnt"))), 4).alias("avg_nll"),
+        )
+    )

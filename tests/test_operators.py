@@ -393,3 +393,87 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
 def test_winnow_short_docs_emit_nothing(spark):
     df = spark.createDataFrame([(1, "tiny"), (2, "x"), (3, "")], "doc_id long, text string")
     assert dedup.winnow_fingerprints(df, k=5, w=4).count() == 0
+
+
+def test_split_assign_partitions_everything_once(spark, sf_dir):
+    from job_datapipeline_spark.catalog import table
+    from job_datapipeline_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    bounds = [("train", 0.8), ("val", 0.9), ("test", 1.0)]
+    out = sampling.split_assign(docs, "doc_id", bounds).collect()
+    assert len(out) == docs.count()  # total function: nothing dropped
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    # disjoint
+    assert sum(len(v) for v in by_split.values()) == len(out)
+    # roughly proportional (md5 is uniform; 500 draws)
+    assert len(by_split["train"]) > len(by_split["val"])
+    # stable across recomputation
+    again = {
+        (r["doc_id"], r["split"])
+        for r in sampling.split_assign(docs, "doc_id", bounds).collect()
+    }
+    assert {(r["doc_id"], r["split"]) for r in out} == again
+
+
+def test_split_assign_rejects_bad_bounds(spark):
+    import pytest as _pt
+
+    from job_datapipeline_spark.operators import sampling
+
+    df = spark.range(5)
+    with _pt.raises(ValueError):
+        sampling.split_assign(df, "id", [("only", 1.0)])
+    with _pt.raises(ValueError):
+        sampling.split_assign(df, "id", [("a", 0.9), ("b", 0.5)])
+    with _pt.raises(ValueError):
+        sampling.split_assign(df, "id", [("a", 0.5), ("b", 0.8)])
+
+
+def test_pack_sequences_respects_running_capacity(spark):
+    from pyspark.sql import functions as F
+
+    from job_datapipeline_spark.operators import sampling
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 * 30 + 10).alias("n_tokens")
+    )
+    packed = sampling.pack_sequences(
+        df, "doc_id", "n_tokens", capacity=256, n_buckets=4
+    ).collect()
+    assert len(packed) == 200  # nothing dropped
+    assert {r["bucket"] for r in packed} <= set(range(4))
+    # within each (bucket, seq): the pack's starting offset is < capacity
+    # past the pack boundary only via a straddling doc; pack ids are dense
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for _rows in by_bucket.values():
+        seqs = sorted({r["seq"] for r in _rows})
+        assert seqs[0] == 0
+        assert seqs == list(range(len(seqs)))  # dense pack ids
+        total = sum(r["n_tokens"] for r in _rows)
+        # every pack except possibly the last holds >= capacity worth of
+        # starts, so pack count is bounded by total/capacity + 1
+        assert len(seqs) <= total // 256 + 1
+
+
+def test_ngram_overlap_flags_planted_contamination(spark):
+    from job_datapipeline_spark.operators.decontam import ngram_overlap_flags
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base),  # benchmark doc
+        (2, "one two three four five six seven eight nine ten"),  # clean
+        (3, base + " extra suffix words"),  # contaminated: shares 8-grams
+        (4, "short doc"),  # too short to ever be flagged
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = corpus.filter("doc_id = 1")
+    out = {r["doc_id"]: r for r in ngram_overlap_flags(corpus, bench, n=8).collect()}
+    assert set(out) == {3}  # self-match (1) excluded, clean/short not flagged
+    assert out[3]["n_shared_grams"] == 3  # 10-token doc shares all 3 base 8-grams
+    assert out[3]["n_bench_docs"] == 1
