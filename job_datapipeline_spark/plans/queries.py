@@ -1160,19 +1160,26 @@ sh AS (
 )"""
 
 
+_MINHASH_P = 2147483647  # operators/dedup.MINHASH_P (2^31 - 1)
+
 _SQL_SIG = f"""
 seeds AS (SELECT unnest(range(0, {_NDD_HASHES})) AS s),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_MINHASH_P} AS h
+  FROM sh
+),
 sig AS (
   SELECT doc_id, CAST(s AS INT) AS seed,
-         min(md5(CAST(s AS VARCHAR) || ':' || shingle)) AS minhash
-  FROM sh CROSS JOIN seeds GROUP BY doc_id, s
+         min((h * (2 * s + 1) + s * 7919) % {_MINHASH_P}) AS minhash
+  FROM hs CROSS JOIN seeds GROUP BY doc_id, s
 )"""
 
 _SQL_BANDED_CAND = f"""
 banded AS (
   SELECT doc_id, CAST(seed // {_NDD_RPB} AS INT) AS band,
-         string_agg(CAST(seed AS VARCHAR) || '=' || minhash, '|'
-                    ORDER BY CAST(seed AS VARCHAR) || '=' || minhash) AS band_sig
+         string_agg(CAST(seed AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), '|'
+                    ORDER BY CAST(seed AS VARCHAR) || '=' || CAST(minhash AS VARCHAR)) AS band_sig
   FROM sig GROUP BY doc_id, seed // {_NDD_RPB}
 ),
 cand AS (
@@ -1187,8 +1194,9 @@ cand AS (
     oracle=f"WITH {_sql_shingles('documents')}, {_SQL_SIG} "
            "SELECT doc_id, seed, minhash FROM sig",
     doc="MinHash signatures (long form, one row per doc x hash function): "
-        "min over shingles of md5(seed:shingle). The oracle replays the md5 "
-        "hash family bit-identically — the design reason md5 was chosen "
+        "one md5 base hash per shingle, multiply-add family per seed mod "
+        "2^31-1. The oracle replays the family bit-identically — the design "
+        "reason an md5-derived integer base was chosen "
         "(operators/dedup.py:13-15).",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2279,8 +2287,14 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(_T.repetition_ratio(F.col("text")), 4).alias("rep_ratio")
+    # pre-project the gram array so tokenize+shingle runs once per row
+    # (multi-referenced alias survives CollapseProject): 8s -> 2.7s at sf0.1
+    grams = docs.select(
+        "doc_id", _T.word_ngrams(_T.tokenize(F.col("text")), 3).alias("_grams")
+    )
+    return grams.select(
+        "doc_id",
+        F.round(_T.repetition_ratio_of_grams(F.col("_grams")), 4).alias("rep_ratio"),
     )
 
 
@@ -2705,11 +2719,14 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     a = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     b = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    # bounded levenshtein: O(len * 12) per pair instead of O(len^2), and the
+    # returned distance is exact whenever <= threshold (-1 otherwise), so
+    # the kept rows are identical to the unbounded form the oracle replays.
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("bigint"))
-        .filter(F.col("edit_dist") <= 12)
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb", 12).cast("bigint"))
+        .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
 
