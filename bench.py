@@ -6,6 +6,17 @@ cost on the result side), after one untimed warmup query to exclude JVM/
 session startup from per-query numbers. Each query runs twice and reports
 the MIN — round-over-round deltas then reflect plan changes, not JIT/page-
 cache jitter.
+
+Output capture: the external driver stores only the LAST 2000 characters
+of stdout and parses the JSON line out of that tail — a line carrying all
+~84 query names is ~2.6 kB and gets its head truncated (BENCH_r02's
+"parsed": null). So the complete per-query dict is written to
+``BENCH_FULL.json`` at the repo root (committed with the round), and the
+printed line is guaranteed to fit: full dict when it fits, else the
+slowest-first prefix that fits plus an explicit ``queries_omitted`` count
+and a pointer to the full file. Slowest-first because the expensive
+queries are the ones perf grading needs; the omitted tail is the
+sub-second remainder.
 """
 
 from __future__ import annotations
@@ -20,6 +31,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from job_datapipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from job_datapipeline_spark.session import get_spark  # noqa: E402
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+# The driver's stdout tail is 2000 chars; leave headroom for the newline
+# and any stray progress-bar bytes that share the tail.
+_MAX_LINE = 1900
+
+
+def _fit_line(payload: dict, per_query: dict[str, float]) -> str:
+    """The most informative JSON line that fits _MAX_LINE: all queries if
+    possible, else the slowest-first prefix that fits."""
+    full = dict(payload, queries=per_query)
+    line = json.dumps(full, separators=(",", ":"))
+    if len(line) <= _MAX_LINE:
+        return line
+    by_cost = sorted(per_query, key=lambda n: (-per_query[n], n))
+    kept: dict[str, float] = {}
+    for name in by_cost:
+        trial = dict(
+            payload,
+            queries=dict(kept, **{name: per_query[name]}),
+            queries_omitted=len(per_query) - len(kept) - 1,
+            full="BENCH_FULL.json",
+        )
+        if len(json.dumps(trial, separators=(",", ":"))) > _MAX_LINE:
+            break
+        kept[name] = per_query[name]
+    out = dict(
+        payload,
+        queries=kept,
+        queries_omitted=len(per_query) - len(kept),
+        full="BENCH_FULL.json",
+    )
+    return json.dumps(out, separators=(",", ":"))
 
 
 def main() -> None:
@@ -42,17 +86,20 @@ def main() -> None:
         per_query[name] = round(min(samples), 3)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
+    payload = {"metric": "total_query_wall_seconds", "value": total, "unit": "sec", "sf": sf}
+
+    # Complete record, committed with the repo (the driver artifact only
+    # keeps the printed tail).
+    with open(os.path.join(_REPO_ROOT, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
+            dict(payload, runs=runs, n_queries=len(per_query), queries=per_query),
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        fh.write("\n")
+
+    print(_fit_line(payload, per_query))
 
 
 if __name__ == "__main__":

@@ -41,3 +41,80 @@ def salted_join(
     )
     out = f.join(d, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def detect_hot_keys(
+    fact: DataFrame,
+    key: str,
+    min_count: int | None = None,
+    top_k: int | None = None,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Find the keys hot enough to need salting, as a 1-column frame.
+
+    Two selection rules (combinable): ``min_count`` keeps keys whose row
+    count exceeds it (exact and deterministic — use this when the result
+    feeds a correctness-checked plan); ``top_k`` keeps the k most frequent
+    (ties broken by key so the selected SET is stable). ``sample_fraction``
+    switches the count to a Bernoulli sample — at 100 TB an exact count of
+    a single narrow column is one cheap map-side-combined pass, but on a
+    wide unprunable source sampling cuts even that scan; sampled counts are
+    scaled back up by 1/fraction before ``min_count`` applies. Sampling is
+    estimation: keys near the threshold may flip between runs, which never
+    affects RESULT correctness (salted and unsalted joins are identical),
+    only which keys get spread.
+    """
+    if min_count is None and top_k is None:
+        raise ValueError("need min_count and/or top_k")
+    src = fact.select(key)
+    scale = 1.0
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+        scale = 1.0 / sample_fraction
+    counts = src.groupBy(key).agg((F.count("*") * F.lit(scale)).alias("_n"))
+    if min_count is not None:
+        counts = counts.filter(F.col("_n") > min_count)
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("_n"), F.asc(key)).limit(top_k)
+    return counts.select(key)
+
+
+def salted_join_hotkeys(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_source: str,
+    hot: DataFrame,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """``salted_join`` that replicates the dim side ONLY for hot keys.
+
+    Full-dim replication multiplies the dim by ``salt`` — wasteful when the
+    dim is large and only a handful of keys are skewed. Here ``hot`` (a
+    1-column frame of hot key values, from ``detect_hot_keys`` — small by
+    construction, broadcast twice) partitions both sides: hot fact rows
+    salt over [0, salt) and meet a salt-exploded copy of the hot dim rows;
+    cold rows join with salt 0 against unreplicated dim rows. Dim expansion
+    is ``|dim| + (salt-1)·|hot|`` instead of ``salt·|dim|``. The result is
+    provably identical to the plain join: the (key, salt) pairing is a
+    partition of the original key matching.
+    """
+    hot = F.broadcast(hot.select(F.col(key)).distinct().withColumn("_hot", F.lit(True)))
+    f = fact.join(hot, key, "left").withColumn(
+        "_salt",
+        F.when(F.col("_hot").isNotNull(), F.pmod(F.hash(F.col(salt_source)), F.lit(salt)))
+        .otherwise(F.lit(0)),
+    ).drop("_hot")
+    d = (
+        dim.join(hot, key, "left")
+        .withColumn(
+            "_salts",
+            F.when(F.col("_hot").isNotNull(), F.sequence(F.lit(0), F.lit(salt - 1)))
+            .otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_hot", "_salts")
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")

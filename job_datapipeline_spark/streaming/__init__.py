@@ -9,8 +9,13 @@ catch-up runs, watermarked tumbling/session windows for time aggregation,
 and ``dropDuplicatesWithinWatermark`` for bounded-state dedup.
 
 Every streaming pipeline has a batch twin in the query registry
-(events_hourly_rollup, events_sessionize) and a pytest proving
-stream-equals-batch on the same inputs.
+(events_hourly_rollup, events_sessionize), a pytest proving
+stream-equals-batch on the same inputs, and — since round 3 — its own
+oracle-checked registry query running a REAL AvailableNow job under the
+hash gate: streaming_hourly_rollup (windowed agg), streaming_dedup_events
+(watermark dedup against planted duplicates), and
+streaming_view_click_attribution (bounded-state stream-stream interval
+join).
 
 ``stateful`` adds the custom-operator path the built-ins cannot express:
 ``applyInPandasWithState`` sessionization with emit-once-on-close semantics

@@ -68,3 +68,96 @@ def test_video_plumbing_with_injected_decoder(spark):
     assert [(r["frame_index"], r["frame_features"][1]) for r in rows] == [
         (0, 156.0), (30, 156.0), (60, 156.0)
     ]
+
+
+# --- real codecs -----------------------------------------------------------
+
+def _golden_hist(pixels):
+    bins = [0] * 8
+    for b, g, r in pixels:
+        bins[int(0.299 * r + 0.587 * g + 0.114 * b) >> 5] += 1
+    return [round(c / len(pixels), 6) for c in bins]
+
+
+def test_bmp_decoder_golden_with_stride_padding():
+    # width 3 -> row stride 12 (3 bytes padding): the decoder must honor it
+    from job_datapipeline_spark.plans.queries import _bmp_bytes, _bmp_pixel
+
+    content = _bmp_bytes(3, 2)
+    out = MM.bmp_image_decoder(content)
+    assert out is not None
+    w, h, fmt, feats = out
+    assert (w, h, fmt) == (3, 2, "bmp")
+    pixels = [_bmp_pixel(x, y) for y in range(2) for x in range(3)]
+    assert feats == _golden_hist(pixels)
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    assert MM.bmp_image_decoder(b"") is None
+    assert MM.bmp_image_decoder(b"PNG not a bmp" * 10) is None
+    # truncated pixel array
+    from job_datapipeline_spark.plans.queries import _bmp_bytes
+
+    content = _bmp_bytes(8, 8)
+    assert MM.bmp_image_decoder(content[: len(content) - 10]) is None
+
+
+def test_bmp_decoder_32bpp_topdown():
+    import struct
+
+    # hand-built 2x2 top-down 32bpp BMP (BGRA), no stride padding needed
+    px = [(10, 20, 30, 0), (200, 100, 50, 0), (0, 0, 0, 0), (255, 255, 255, 0)]
+    data = b"".join(bytes(p) for p in px)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(data), 0, 0, 0, 0)
+    out = MM.bmp_image_decoder(header + info + data)
+    assert out is not None
+    w, h, fmt, feats = out
+    assert (w, h, fmt) == (2, 2, "bmp")
+    assert feats == _golden_hist([p[:3] for p in px])
+
+
+def test_real_decoder_dispatch():
+    from job_datapipeline_spark.plans.queries import _bmp_bytes
+
+    assert MM.real_image_decoder(_bmp_bytes(4, 4))[2] == "bmp"
+    fake = b"FAKEIMG\x00" + bytes([0, 4, 0, 2]) + bytes(range(8))
+    assert MM.real_image_decoder(fake)[2] == "fakeimg"
+    assert MM.real_image_decoder(b"\x00\x01garbage") is None
+
+
+def test_pil_decoder_when_available():
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), (255, 0, 0)).save(buf, format="PNG")
+    out = MM.pil_image_decoder(buf.getvalue())
+    assert out is not None and out[:2] == (5, 3) and out[2] == "png"
+
+
+def test_wav_decoder_golden():
+    from job_datapipeline_spark.plans.queries import _wav_bytes, _wav_golden
+
+    content = _wav_bytes(1, 8000, 1600, 7)
+    out = MM.wav_audio_decoder(content)
+    assert out is not None
+    nch, rate, n, fmt, rms, feats = out
+    assert (nch, rate, n, fmt) == (1, 8000, 1600, "wav")
+    g_rms, g_hist = _wav_golden(1, 1600, 7)
+    assert rms == g_rms and feats == g_hist
+
+
+def test_wav_decoder_stereo_and_rejects():
+    from job_datapipeline_spark.plans.queries import _wav_bytes
+
+    out = MM.wav_audio_decoder(_wav_bytes(2, 16000, 100, 11))
+    assert out is not None and out[0] == 2 and out[2] == 100
+    assert MM.wav_audio_decoder(b"") is None
+    assert MM.wav_audio_decoder(b"RIFFgarbage") is None
+    # BMP bytes are not audio
+    from job_datapipeline_spark.plans.queries import _bmp_bytes
+
+    assert MM.wav_audio_decoder(_bmp_bytes(4, 4)) is None

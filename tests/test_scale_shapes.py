@@ -121,3 +121,33 @@ def test_gapfill_no_cartesian_on_data_side(spark, sf_dir):
     # dim; the events-side rollup must join it hash-wise
     plan = _plan(REGISTRY["events_gapfill_hourly"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_approx_percentile_plan_has_no_exact_buffer(spark, sf_dir):
+    """The production percentile path must be the GK sketch alone — an
+    exact Percentile aggregate buffers every group value (the 100 TB OOM
+    the approx twin exists to avoid)."""
+    li = table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50")
+    )
+    plan = _plan(df)
+    assert "approx_percentile" in plan
+    # the exact aggregate never appears (strip the approx occurrences first
+    # — "approx_percentile(" contains the substring "percentile(")
+    assert "percentile(" not in plan.replace("approx_percentile(", "")
+
+
+def test_hotkey_salted_join_no_full_dim_replication(spark, sf_dir):
+    """The hot-key salted join's dim side must broadcast the hot-key frame
+    and must not cartesian anything."""
+    plan = _plan(REGISTRY["join_salted_hotkeys"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sink_roundtrip_reads_only_newest_partition(spark, sf_dir):
+    """The round-trip query's scan must carry a partition filter on
+    run_date — older run directories are pruned at planning time."""
+    plan = _plan(REGISTRY["sink_roundtrip_newest_partition"].fn(spark, sf_dir))
+    assert "PartitionFilters" in plan and "run_date" in plan

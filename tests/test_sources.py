@@ -94,3 +94,17 @@ def test_json_side_input_skills(spark, tmp_path):
         json.dump({"skills": ["Python", "spark", "SQL"], "jobs": ["data scientist"]}, f)
     terms = readers.skills_terms(spark, path)
     assert {r["token"] for r in terms.collect()} == {"python", "spark", "sql"}
+
+
+def test_object_store_confs_shape():
+    from job_datapipeline_spark.object_store import object_store_confs
+
+    magic = object_store_confs()
+    assert magic["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in magic["spark.sql.sources.commitProtocolClass"]
+    plain = object_store_confs("file")
+    assert "spark.hadoop.fs.s3a.committer.name" not in plain
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        object_store_confs("bogus")

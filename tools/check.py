@@ -25,9 +25,11 @@ def main() -> int:
     spark = get_spark("check-correctness")
     con = duck_con(sf_dir)
     failures = 0
+    executed = 0
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
+        executed += 1
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
@@ -52,7 +54,10 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"OK   {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
-    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} over {len(REGISTRY)} queries")
+    print(
+        f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} over "
+        f"{executed} executed queries ({len(REGISTRY)} registered)"
+    )
     return 1 if failures else 0
 
 
