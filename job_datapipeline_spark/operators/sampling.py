@@ -82,6 +82,87 @@ def stratified_sample_k(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample groups to a TARGET MIXTURE (the domain-reweighting step
+    of every pretraining data recipe: "20% code, 30% web, ...").
+
+    ``weights`` maps group value -> target share (must sum to ~1; groups
+    not listed are dropped). The operator computes, in-plan, the largest
+    total size achievable at exactly those shares without upsampling —
+    ``M = min_g(n_g / w_g)`` — and keeps each group's rows with probability
+    ``p_g = w_g * M / n_g`` (the binding group keeps ~everything, the
+    overrepresented ones thin out). Draws are the same md5(salt:key) device
+    as :func:`deterministic_sample`, widened to 8 hex chars and compared
+    against a PER-GROUP threshold computed inside the plan with integer/
+    double ops both engines evaluate identically — so the exact kept set
+    is engine-replayable even though the probabilities are data-dependent.
+
+    Scale shape: one narrow groupBy(count) over the group column, a
+    broadcast join of the |groups|-row probability dim onto the corpus,
+    then a map-side filter. Expected (not exact) realized shares, like any
+    Bernoulli scheme; pair with :func:`stratified_sample_k` when exact
+    per-group counts matter more than unbiasedness.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total_w = sum(weights.values())
+    if abs(total_w - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1 (got {total_w})")
+    spark = df.sparkSession
+    wdim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).alias(group_col), F.lit(float(w)).alias("_w")
+                        )
+                        for g, w in sorted(weights.items())
+                    ]
+                )
+            ).alias("_s")
+        )
+        .select("_s.*")
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    cw = counts.join(F.broadcast(wdim), group_col).withColumn(
+        "_ratio", F.col("_n").cast("double") / F.col("_w")
+    )
+    m = cw.agg(F.min("_ratio").alias("_m"))
+    probs = (
+        cw.crossJoin(F.broadcast(m))
+        .withColumn("_p", F.least(F.col("_w") * F.col("_m") / F.col("_n").cast("double"), F.lit(1.0)))
+        .withColumn(
+            "_thr",
+            F.when(F.col("_p") >= 1.0, F.lit("g")).otherwise(
+                F.lower(
+                    F.lpad(
+                        F.hex(F.floor(F.col("_p") * F.lit(4294967296.0)).cast("bigint")),
+                        8,
+                        "0",
+                    )
+                )
+            ),
+        )
+        .select(group_col, "_thr")
+    )
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(probs), group_col)
+        .filter(draw < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def split_assign(
     df: DataFrame, key_col: str, bounds: list[tuple[str, float]], salt: str = ""
 ) -> DataFrame:

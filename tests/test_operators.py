@@ -541,3 +541,36 @@ def test_detect_hot_keys_rules(spark):
     # sampled estimate still surfaces the dominant key
     got = {r["k"] for r in detect_hot_keys(df, "k", min_count=5, sample_fraction=0.5).collect()}
     assert 1 in got
+
+
+def test_mixture_sample_hits_target_shares(spark, sf_dir):
+    from job_datapipeline_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    weights = {"en": 0.25, "de": 0.1875, "es": 0.1875, "fr": 0.1875, "zh": 0.1875}
+    kept = mixture_sample(docs, "lang", weights, "doc_id", salt="t")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    # realized shares within Bernoulli noise of the targets (500-doc corpus)
+    for lang, w in weights.items():
+        assert abs(counts[lang] / total - w) < 0.08, (lang, counts)
+    # binding group (smallest n/w ratio) keeps ~all of its rows
+    orig = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    binding = min(orig, key=lambda g: orig[g] / weights[g])
+    assert counts[binding] >= orig[binding] * 0.95
+    # deterministic: second run keeps the identical row set
+    again = mixture_sample(docs, "lang", weights, "doc_id", salt="t")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_mixture_sample_validates_weights(spark, sf_dir):
+    import pytest as _pytest
+
+    from job_datapipeline_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, "lang", {}, "doc_id")
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, "lang", {"en": 0.5, "de": 0.2}, "doc_id")
