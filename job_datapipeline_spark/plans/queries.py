@@ -3420,6 +3420,173 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                   generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+            FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM documents) x) u
+        WHERE tok <> ''
+    ), bg AS (
+        SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+        FROM tk
+        QUALIFY prev IS NOT NULL
+    ), heads AS (
+        SELECT prev, count(*) AS c1 FROM bg GROUP BY prev
+    ), pairs AS (
+        SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(CAST(c1 AS DOUBLE) / c2)), 4) AS avg_nll
+    FROM bg JOIN heads USING (prev) JOIN pairs USING (prev, tok)
+    GROUP BY bg.doc_id
+    """,
+    doc="Bigram-LM document scoring — the conditional-probability upgrade "
+        "of text_unigram_logprob (the CCNet-style LM quality filter, fit "
+        "on the corpus itself so it stays exactly computable): per doc, "
+        "mean -ln p(w_i | w_{i-1}) with MLE conditionals c(w1,w2)/c(w1). "
+        "Low = repetitive boilerplate, high = incoherent token soup; "
+        "filter both tails. Plan: one posexplode, one window lag per doc, "
+        "two hash aggregations, two shuffle joins on the token key — no "
+        "UDF, no driver state; at 100 TB the bigram count tables are the "
+        "only global state and they are orders smaller than the corpus.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id", F.posexplode(_T.tokenize(F.col("text"))).alias("pos", "tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tk.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+    )
+    heads = bg.groupBy("prev").agg(F.count("*").alias("c1"))
+    pairs = bg.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    return (
+        bg.join(heads, "prev")
+        .join(pairs, ["prev", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c1").cast("double") / F.col("c2"))), 4).alias("avg_nll"),
+        )
+    )
+
+
+def _events_unique_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right side for as-of queries: one row per (user, ts) — ASOF
+    tie-breaking at equal timestamps is engine-defined, so collapse first
+    (largest event_id wins, totally ordered)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_type", "event_id").alias("event_type"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+
+
+@register(
+    "join_asof_forward_event",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           e.event_type AS next_event_type,
+           round(e.value, 2) AS next_event_value
+    FROM orders o
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               max_by(event_type, event_id) AS event_type,
+               max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, ts) e
+      ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+    """,
+    doc="FORWARD as-of join (operators/asof.asof_join direction='forward'):"
+        " each order enriched with the customer's EARLIEST event at or "
+        "after order time — the next-touch attribution shape. Same "
+        "union-and-carry plan as backward, with the frame looking ahead; "
+        "oracle is DuckDB's native forward ASOF (inequality flipped).",
+)
+def join_asof_forward_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    joined = _asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        _events_unique_ts(spark, sf_dir),
+        key_left="o_custkey",
+        key_right="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload_cols=["event_type", "value"],
+        direction="forward",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("event_type").alias("next_event_type"),
+        F.round("value", 2).alias("next_event_value"),
+    )
+
+
+@register(
+    "join_asof_nearest_tolerance",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts,
+               max_by(event_type, event_id) AS event_type,
+               max_by(value, event_id) AS value
+        FROM events GROUP BY user_id, ts)
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           m.event_type AS near_event_type,
+           round(m.value, 2) AS near_event_value
+    FROM orders o LEFT JOIN LATERAL (
+        SELECT e.event_type, e.value
+        FROM e
+        WHERE e.user_id = o.o_custkey
+          AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= 2592000000000
+        ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                 CASE WHEN e.ts <= o.o_orderdate THEN 0 ELSE 1 END
+        LIMIT 1) m ON true
+    """,
+    doc="NEAREST-within-tolerance as-of join (direction='nearest', "
+        "tolerance 30 days): each order takes whichever adjacent event is "
+        "closer in time, ties preferring the earlier one (pandas "
+        "merge_asof tie rule), matches farther than 30 days nulled. Both "
+        "arms share ONE sort — still a single shuffle, no range-join "
+        "blow-up. Oracle: LATERAL top-1 by exact microsecond distance "
+        "(2592000000000 us = 30 days).",
+)
+def join_asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    joined = _asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        _events_unique_ts(spark, sf_dir),
+        key_left="o_custkey",
+        key_right="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        payload_cols=["event_type", "value"],
+        direction="nearest",
+        tolerance="interval 30 days",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("event_type").alias("near_event_type"),
+        F.round("value", 2).alias("near_event_value"),
+    )
+
+
 _MIXTURE_WEIGHTS = {"en": 0.25, "de": 0.1875, "es": 0.1875, "fr": 0.1875, "zh": 0.1875}
 
 
@@ -3552,6 +3719,9 @@ _DRIVER_WINDOW_FIRST = (
     "agg_approx_distinct",
     "streaming_hourly_rollup",
     "corpus_mixture_sample",
+    "join_asof_forward_event",
+    "join_asof_nearest_tolerance",
+    "text_bigram_logprob",
     # -- flagship / heaviest re-certifications (green in r02 too) --
     "pricing_summary",
     "top_skills_by_lang",
@@ -3561,10 +3731,7 @@ _DRIVER_WINDOW_FIRST = (
     "dedup_lsh_candidates",
     "dedup_minhash_signatures",
     "dedup_embedding_composed",
-    "ann_lsh_topk",
     "html_extract_listing",
-    "events_sessionize",
-    "multimodal_blob_stats",
 )
 
 

@@ -574,3 +574,68 @@ def test_mixture_sample_validates_weights(spark, sf_dir):
         mixture_sample(docs, "lang", {}, "doc_id")
     with _pytest.raises(ValueError):
         mixture_sample(docs, "lang", {"en": 0.5, "de": 0.2}, "doc_id")
+
+
+# --- as-of join directions/tolerance ---------------------------------------
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 150, "c"), (3, 100, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0, 1), (1, 200, 20.0, 2), (1, 210, 21.0, 3), (2, 400, 40.0, 4)],
+        "k long, ts long, v double, rid long",
+    )
+    return left, right
+
+
+def test_asof_forward_and_backward_semantics(spark):
+    from job_datapipeline_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    back = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(left, right, "k", "k", "ts", "ts", ["v"], right_order="rid").collect()
+    }
+    # equal ts visible; latest at-or-before; no match -> null
+    assert back == {(1, 100): 10.0, (1, 205): 20.0, (2, 150): None, (3, 100): None}
+    fwd = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "k", "ts", "ts", ["v"], right_order="rid", direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 100): 10.0, (1, 205): 21.0, (2, 150): 40.0, (3, 100): None}
+
+
+def test_asof_nearest_prefers_backward_on_tie(spark):
+    from job_datapipeline_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    near = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "k", "ts", "ts", ["v"], right_order="rid", direction="nearest"
+        ).collect()
+    }
+    # (1,205): back=200 (d=5), fwd=210 (d=5) -> tie -> backward's 20.0
+    assert near == {(1, 100): 10.0, (1, 205): 20.0, (2, 150): 40.0, (3, 100): None}
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    from job_datapipeline_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    near = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "k", "ts", "ts", ["v"],
+            right_order="rid", direction="nearest", tolerance="100",
+        ).collect()
+    }
+    # (2,150): nearest is 400 at distance 250 > 100 -> null
+    assert near == {(1, 100): 10.0, (1, 205): 20.0, (2, 150): None, (3, 100): None}
+
+    with __import__("pytest").raises(ValueError):
+        asof_join(left, right, "k", "k", "ts", "ts", ["v"], direction="sideways")
