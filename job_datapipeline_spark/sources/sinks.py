@@ -40,9 +40,27 @@ def write_partitioned_parquet(
     (F10, cleaner.py:143) as a proper partition column ``run_date`` in ISO
     form (yyyy-MM-dd — lexicographic order == date order, which the
     reference's dd-MM-yyyy stamps famously break for sorting).
+
+    ``mode="overwrite_partitions"`` makes a daily batch IDEMPOTENT: dynamic
+    partition overwrite replaces exactly the partitions present in ``df``
+    and leaves every other run's directories untouched — re-running a
+    failed day can never duplicate it (plain ``append`` would) and never
+    truncates the table (static ``overwrite`` would). This is the retry
+    story the reference implements by deleting and re-uploading whole
+    directories (main.py:81-107).
     """
     if stamp_run_date:
         df = df.withColumn("run_date", F.date_format(F.current_date(), "yyyy-MM-dd"))
+    if mode == "overwrite_partitions":
+        spark = df.sparkSession
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        finally:
+            spark.conf.set(conf_key, prev)
+        return
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

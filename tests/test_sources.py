@@ -108,3 +108,27 @@ def test_object_store_confs_shape():
 
     with _pytest.raises(ValueError):
         object_store_confs("bogus")
+
+
+def test_overwrite_partitions_is_idempotent_per_day(spark, tmp_path):
+    from job_datapipeline_spark.sources.sinks import write_partitioned_parquet
+
+    path = str(tmp_path / "daily")
+    d1 = spark.createDataFrame([(1, "2024-05-01"), (2, "2024-05-01")], "v long, run_date string")
+    d2 = spark.createDataFrame([(3, "2024-05-02")], "v long, run_date string")
+    write_partitioned_parquet(d1, path, ("run_date",), mode="append")
+    write_partitioned_parquet(d2, path, ("run_date",), mode="append")
+
+    # re-run day 2 with corrected rows: replaces ONLY that partition
+    d2_fixed = spark.createDataFrame(
+        [(30, "2024-05-02"), (31, "2024-05-02")], "v long, run_date string"
+    )
+    write_partitioned_parquet(d2_fixed, path, ("run_date",), mode="overwrite_partitions")
+    # partition-column type inference reads run_date back as a date
+    got = {(r["v"], str(r["run_date"])) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "2024-05-01"), (2, "2024-05-01"), (30, "2024-05-02"), (31, "2024-05-02")}
+    # a second identical re-run changes nothing (idempotent retry)
+    write_partitioned_parquet(d2_fixed, path, ("run_date",), mode="overwrite_partitions")
+    assert {(r["v"], str(r["run_date"])) for r in spark.read.parquet(path).collect()} == got
+    # and the session conf is restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
