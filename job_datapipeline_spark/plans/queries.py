@@ -3482,6 +3482,85 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+    SELECT count(*) AS n_view, count(s2.user_id) AS n_click,
+           count(s3.user_id) AS n_purchase
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Ordered funnel (operators/funnel.funnel_steps): users completing "
+        "view -> click -> purchase with each step at or after the previous "
+        "one — the match_recognize/CEP-shaped question, answered "
+        "relationally: per step, one filtered join + min-aggregate on the "
+        "user key, state one timestamp per user per step. No per-user "
+        "event arrays (the hot-user memory hazard of the collect-and-"
+        "regex approach); each stage's frame is a subset of the previous.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_steps
+
+    ev = table(spark, sf_dir, "events")
+    f = funnel_steps(ev, ["view", "click", "purchase"])
+    return f.agg(
+        F.count("*").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention (the classic triangle): users grouped by "
+        "first-seen week, counted distinct in each subsequent activity "
+        "week. Two hash aggregations + one shuffle join on the user key; "
+        "week offsets via day arithmetic on week-truncated stamps (exact "
+        "multiples of 7 — engine-portable, unlike week-boundary counting). "
+        "At 100 TB the first_seen dim is one row per user and the "
+        "activity frame is already deduped to (user, week) before the "
+        "join, so joined volume is user-weeks, not raw events.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort").cast("timestamp_ntz").alias("cohort"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
 def _events_unique_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right side for as-of queries: one row per (user, ts) — ASOF
     tie-breaking at equal timestamps is engine-defined, so collapse first
@@ -3722,6 +3801,8 @@ _DRIVER_WINDOW_FIRST = (
     "join_asof_forward_event",
     "join_asof_nearest_tolerance",
     "text_bigram_logprob",
+    "events_funnel",
+    "events_retention_cohorts",
     # -- flagship / heaviest re-certifications (green in r02 too) --
     "pricing_summary",
     "top_skills_by_lang",
@@ -3729,8 +3810,6 @@ _DRIVER_WINDOW_FIRST = (
     "dedup_jaccard_pairs",
     "dedup_near_composed",
     "dedup_lsh_candidates",
-    "dedup_minhash_signatures",
-    "dedup_embedding_composed",
     "html_extract_listing",
 )
 

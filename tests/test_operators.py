@@ -639,3 +639,33 @@ def test_asof_tolerance_nulls_far_matches(spark):
 
     with __import__("pytest").raises(ValueError):
         asof_join(left, right, "k", "k", "ts", "ts", ["v"], direction="sideways")
+
+
+def test_funnel_requires_order(spark):
+    from job_datapipeline_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1 completes in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: click BEFORE view -> chain stops at view
+        (2, 20, "view"), (2, 10, "click"), (2, 30, "purchase"),
+        # u3: view+click same ts (allowed), no purchase
+        (3, 10, "view"), (3, 10, "click"),
+        # u4 never views -> absent
+        (4, 10, "click"), (4, 20, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r["user_id"]: (r["reached"], r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, 10, 20, 30)
+    # u2's purchase qualifies only if a click at/after the view exists — none
+    assert got[2] == (1, 20, None, None)
+    assert got[3] == (2, 10, 10, None)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(ev, ["view"])
