@@ -3543,6 +3543,58 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_array_ops",
+    oracle="""
+    WITH arr AS (
+        SELECT o_orderkey,
+               list_sort(list(l_quantity ORDER BY l_linenumber)) AS qs
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey)
+    SELECT o_orderkey,
+           CAST(len(qs) AS INT) AS n_lines,
+           round(list_aggregate(qs, 'sum'), 2) AS total_qty,
+           qs[1] AS min_qty,
+           qs[-1] AS max_qty,
+           CAST(len(list_filter(qs, q -> q > 25.0)) AS INT) AS n_large,
+           round(list_aggregate(list_transform(qs, q -> q * q), 'sum'), 2) AS sum_sq
+    FROM arr
+    """,
+    doc="Complex-types surface: per-order quantity ARRAYS built with "
+        "array_agg, then higher-order functions only — array_sort, "
+        "aggregate (fold), filter, transform — all Catalyst lambda "
+        "expressions inside whole-stage codegen, no UDF, no explode-"
+        "reaggregate round trip (one shuffle for the array build, zero "
+        "after). DuckDB replays with list_* equivalents.",
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    arr = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.array_sort(F.collect_list("l_quantity")).alias("qs"))
+    )
+    return arr.select(
+        "o_orderkey",
+        F.size("qs").alias("n_lines"),
+        F.round(
+            F.aggregate("qs", F.lit(0.0), lambda acc, q: acc + q), 2
+        ).alias("total_qty"),
+        F.element_at("qs", 1).alias("min_qty"),
+        F.element_at("qs", -1).alias("max_qty"),
+        F.size(F.filter("qs", lambda q: q > 25.0)).alias("n_large"),
+        F.round(
+            F.aggregate(
+                F.transform("qs", lambda q: q * q), F.lit(0.0), lambda acc, q: acc + q
+            ),
+            2,
+        ).alias("sum_sq"),
+    )
+
+
+@register(
     "events_funnel",
     oracle="""
     WITH s1 AS (

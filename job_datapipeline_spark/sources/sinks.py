@@ -71,6 +71,19 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = "gzip") -> None:
+    """JSON-lines sink — the interchange format every LLM training stack
+    ingests. ``df.write.json`` emits one JSON object per row (JSONL by
+    construction), parallel per partition; gzip by default because JSONL
+    at corpus scale is ~5x smaller compressed and every consumer streams
+    it. Binary columns don't belong here (base64 bloat) — keep blobs in
+    parquet and export metadata + text."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def kv_sink(
     df: DataFrame,
     writer_factory: Callable[[], Callable[[list[dict]], None]],

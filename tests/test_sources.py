@@ -132,3 +132,28 @@ def test_overwrite_partitions_is_idempotent_per_day(spark, tmp_path):
     assert {(r["v"], str(r["run_date"])) for r in spark.read.parquet(path).collect()} == got
     # and the session conf is restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    import gzip
+    import json as _json
+    import os
+
+    from job_datapipeline_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, 'quote " and unicode é')], "doc_id long, text string"
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df.coalesce(1), path)
+    part = [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".gz")]
+    assert part, os.listdir(path)
+    with gzip.open(os.path.join(path, part[0]), "rt") as fh:
+        rows = [_json.loads(line) for line in fh]
+    assert sorted(rows, key=lambda r: r["doc_id"]) == [
+        {"doc_id": 1, "text": "hello world"},
+        {"doc_id": 2, "text": 'quote " and unicode é'},
+    ]
+    # spark reads its own jsonl back
+    back = spark.read.json(path)
+    assert back.count() == 2
