@@ -73,3 +73,78 @@ def test_asof_nearest_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning(_k")
     assert n_exchanges == 1, plan
+
+
+# --- mixture sampling: exact pure-python replay ----------------------------
+
+def test_mixture_sample_exact_replay(spark, sf_dir):
+    """The kept row set is a deterministic function of (counts, weights,
+    salt) — recompute it row-by-row in pure python and demand EXACT
+    equality, not statistical closeness."""
+    import hashlib
+
+    from job_datapipeline_spark.catalog import table as _table
+    from job_datapipeline_spark.operators.sampling import mixture_sample
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"en": 0.25, "de": 0.1875, "es": 0.1875, "fr": 0.1875, "zh": 0.1875}
+    rows = [(r["doc_id"], r["lang"]) for r in docs.collect()]
+
+    counts = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    m = min(counts[g] / w for g, w in weights.items())
+    expected = set()
+    for doc_id, lang in rows:
+        p = min(weights[lang] * m / float(counts[lang]), 1.0)
+        thr = "g" if p >= 1.0 else format(int(p * 4294967296.0), "08x")
+        draw = hashlib.md5(f"x:{doc_id}".encode()).hexdigest()[:8]
+        if draw < thr:
+            expected.add(doc_id)
+
+    got = {
+        r["doc_id"]
+        for r in mixture_sample(docs, "lang", weights, "doc_id", salt="x").collect()
+    }
+    assert got == expected
+
+
+# --- funnel: brute-force differential --------------------------------------
+
+from job_datapipeline_spark.operators.funnel import funnel_steps
+
+ev_row = st.tuples(st.integers(0, 2), st.integers(0, 20), st.sampled_from(["a", "b", "c", "x"]))
+
+
+def _brute_funnel(rows, steps):
+    out = {}
+    for u in {r[0] for r in rows}:
+        mine = [r for r in rows if r[0] == u]
+        t_prev, anchors = None, []
+        for s in steps:
+            cand = [ts for (_, ts, t) in mine if t == s and (t_prev is None or ts >= t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            anchors.append(t_prev)
+        if anchors:
+            out[u] = (len(anchors), anchors)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(ev_row, min_size=1, max_size=20, unique_by=lambda r: (r[0], r[1], r[2])))
+def test_funnel_matches_bruteforce(spark, rows):
+    # dedupe (user, ts): equal-ts different-type events make min(ts)
+    # anchors ambiguous only in the brute model, not the operator; keep one
+    seen, uniq = set(), []
+    for r in rows:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1]))
+            uniq.append(r)
+    ev = spark.createDataFrame(uniq, "user_id long, ts long, event_type string")
+    got = {
+        r["user_id"]: (r["reached"], [r[f"t{i}"] for i in range(1, 4) if r[f"t{i}"] is not None])
+        for r in funnel_steps(ev, ["a", "b", "c"]).collect()
+    }
+    assert got == _brute_funnel(uniq, ["a", "b", "c"])
