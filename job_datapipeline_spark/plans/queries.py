@@ -3543,6 +3543,34 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setops_intersect_except",
+    oracle="""
+    SELECT o_custkey, 'both' AS set_op FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    UNION ALL
+    SELECT o_custkey, 'urgent_only' AS set_op FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    """,
+    doc="INTERSECT / EXCEPT — the set-operation family beyond union "
+        "(U1-U3): customers placing both urgent and high-priority orders "
+        "vs urgent-only, via DataFrame.intersect / subtract (DISTINCT "
+        "semantics, planned as left-semi / left-anti aggregates — no "
+        "full materialization of either side).",
+)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).withColumn("set_op", F.lit("both"))
+    urgent_only = urgent.subtract(high).withColumn("set_op", F.lit("urgent_only"))
+    return both.unionByName(urgent_only)
+
+
+@register(
     "scalar_array_ops",
     oracle="""
     WITH arr AS (
