@@ -3543,6 +3543,76 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_incremental_parquet",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, round(value, 2) AS value
+    FROM events
+    """,
+    doc="The incremental-ingest write path under the hash gate: a real "
+        "AvailableNow run writes the events stream to a parquet sink with "
+        "a checkpoint, then a SECOND run against the same checkpoint "
+        "processes nothing (exactly-once: the files are already "
+        "committed), and the sink directory is read back and must "
+        "hash-match the source table — proving both the streamed write "
+        "and that the re-run added no duplicate rows. This is the "
+        "cron-shaped daily catch-up the reference implements with "
+        "date-stamped S3 objects, with Spark owning the bookkeeping.",
+)
+def streaming_incremental_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.pipelines import available_now_to_parquet, read_events_stream
+
+    src = _stream_events_src(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_sink_")
+    out, ckpt = base + "/out", base + "/ckpt"
+    with _stream_state_partitions(spark):
+        for _ in range(2):  # second run: same checkpoint, no new files -> no rows
+            available_now_to_parquet(read_events_stream(spark, src), out, ckpt)
+    return spark.read.parquet(out).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
+    "sink_roundtrip_csv",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="S12 under the hash gate: orders written to a CSV sink (header "
+        "on, the reference's downstream-compat format) and read back with "
+        "an EXPLICIT schema — no inference, the reader contract is typed "
+        "— then aggregated; the oracle recomputes from the original "
+        "parquet, so the hash certifies a lossless text round trip of "
+        "longs, doubles, timestamps, and strings.",
+)
+def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.sinks import write_csv
+
+    orders = table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders_csv"
+    write_csv(orders, path)
+    back = (
+        spark.read.option("header", "true")
+        .schema(orders.schema)
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
     "setops_intersect_except",
     oracle="""
     SELECT o_custkey, 'both' AS set_op FROM (
