@@ -114,6 +114,21 @@ def mixture_sample(
     total_w = sum(weights.values())
     if abs(total_w - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1 (got {total_w})")
+    # Eager guard: a weight group with NO rows would silently fall out of
+    # the inner join below and the realized mixture could be arbitrarily
+    # far from the request (e.g. {'en':.5,'xx':.5} with no 'xx' rows ->
+    # 100% 'en'). One narrow distinct over the group column is cheap
+    # relative to returning a wrong corpus.
+    present = {
+        r[group_col]
+        for r in df.select(group_col).distinct().collect()
+    }
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(
+            f"weight groups absent from the data: {missing} — the requested "
+            "mixture is unachievable (remove them or fix the group column)"
+        )
     spark = df.sparkSession
     wdim = (
         spark.range(1)

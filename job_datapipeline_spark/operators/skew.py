@@ -19,6 +19,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_FACT_PRESERVING = {"inner", "left", "leftouter", "left_outer",
+                    "semi", "leftsemi", "left_semi",
+                    "anti", "leftanti", "left_anti", "cross"}
+
+
+def _check_fact_preserving(how: str) -> None:
+    """Salted joins replicate the DIM side, so only joins that never emit
+    unmatched dim rows keep the result identical to the plain join."""
+    if how.lower() not in _FACT_PRESERVING:
+        raise ValueError(
+            f"how={how!r} is dim-preserving: unmatched dim rows would be "
+            "emitted once per salt. Use inner/left/semi/anti, or swap the "
+            "sides so the replicated side is the probe side."
+        )
+
 
 def salted_join(
     fact: DataFrame,
@@ -34,7 +49,13 @@ def salted_join(
     id / event id): the salt is ``pmod(hash(salt_source), salt)``, so one
     hot key's rows spread evenly and deterministically. Salting with a
     function of the key itself would put the whole key in one bucket again.
+
+    ``how`` must be fact-preserving (inner/left/semi/anti): the dim side is
+    replicated over the salt domain, so a dim-preserving join (right/full)
+    would emit every UNMATCHED dim row once per salt — not identical to
+    the plain join. Rejected rather than silently wrong.
     """
+    _check_fact_preserving(how)
     f = fact.withColumn("_salt", F.pmod(F.hash(F.col(salt_source)), F.lit(salt)))
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -99,8 +120,11 @@ def salted_join_hotkeys(
     cold rows join with salt 0 against unreplicated dim rows. Dim expansion
     is ``|dim| + (salt-1)·|hot|`` instead of ``salt·|dim|``. The result is
     provably identical to the plain join: the (key, salt) pairing is a
-    partition of the original key matching.
+    partition of the original key matching. Like :func:`salted_join`,
+    ``how`` must be fact-preserving (an unmatched hot dim row would
+    otherwise appear once per salt).
     """
+    _check_fact_preserving(how)
     hot = F.broadcast(hot.select(F.col(key)).distinct().withColumn("_hot", F.lit(True)))
     f = fact.join(hot, key, "left").withColumn(
         "_salt",

@@ -1694,16 +1694,9 @@ from ..operators.skew import salted_join as _salted_join  # noqa: E402
 )
 def join_asof_order_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    ev = table(spark, sf_dir, "events")
-    # collapse duplicate (user, ts) right rows first — ASOF tie-breaking on
-    # equal timestamps is engine-defined, so make the right side unique
-    ev_u = ev.groupBy("user_id", "ts").agg(
-        F.max_by("event_type", "event_id").alias("event_type"),
-        F.max_by("value", "event_id").alias("value"),
-    )
     joined = _asof_join(
         o.select("o_orderkey", "o_custkey", "o_orderdate"),
-        ev_u,
+        _events_unique_ts(spark, sf_dir),
         key_left="o_custkey",
         key_right="user_id",
         left_ts="o_orderdate",
@@ -1990,11 +1983,15 @@ def _stream_events_src(spark: SparkSession, sf_dir: str, planted_dups: bool = Fa
     sf_dir): the fixture is a deterministic function of its inputs, and a
     real incremental pipeline reads a source that already exists — the
     streaming queries should time the STREAM RUN, not a fixture rewrite."""
+    import os
+    import tempfile
+
     key = (id(spark), sf_dir, planted_dups)
     cached = _STREAM_SRC_CACHE.get(key)
-    if cached is not None:
+    # existence check guards both tmp-reaper cleanup and the (remote) case
+    # of a recycled id() aliasing a dead session's entry
+    if cached is not None and os.path.isdir(cached):
         return cached
-    import tempfile
 
     src = tempfile.mkdtemp(prefix="stream_src_") + "/events_src"
     ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
@@ -3962,9 +3959,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the original first 50, so round 3 rotates in: the 28 queries registered
 # after that window (as-of, salted skew, percentiles, grouping sets,
 # rank-family/RANGE windows, exact moments, IVF, stateful streaming, the
-# corpus/sampling/decontamination suite), the 6 new round-3 queries, and 16
-# flagship/riskiest re-certifications. The demoted remainder (simple
-# scalar/cleaner/join variants) all carry green r02 driver rows.
+# corpus/sampling/decontamination suite), then as many new round-3 queries
+# as fit, with the remaining slots going to flagship/riskiest
+# re-certifications. The demoted remainder (and the handful of low-risk
+# round-3 additions that didn't fit) all either carry green r02 driver
+# rows or are simple expression-level queries verified by the judge's
+# full-registry re-run.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = (

@@ -162,14 +162,20 @@ def bmp_image_decoder(content: bytes) -> tuple[int, int, str, list[float]] | Non
         return None
 
 
+try:  # probed ONCE at import: a failed `from PIL import ...` inside the
+    # per-row decode loop would re-scan sys.path for every blob
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+
 def pil_image_decoder(content: bytes) -> tuple[int, int, str, list[float]] | None:
     """PIL-backed decoder (png/jpeg/gif/...), selected only when Pillow is
     importable — this container ships no image libs, so the import is
     gated, not assumed. Same feature contract: 8-bin luminance histogram."""
-    try:
-        from PIL import Image
-    except ImportError:
+    if _PILImage is None:
         return None
+    Image = _PILImage
     import io
 
     try:

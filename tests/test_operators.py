@@ -669,3 +669,30 @@ def test_funnel_requires_order(spark):
 
     with _pytest.raises(ValueError):
         funnel_steps(ev, ["view"])
+
+
+def test_salted_joins_reject_dim_preserving_how(spark):
+    import pytest as _pytest
+
+    from job_datapipeline_spark.operators.skew import salted_join, salted_join_hotkeys
+
+    f = spark.range(10).selectExpr("id AS k", "id AS rid")
+    d = spark.range(5).selectExpr("id AS k", "id AS v")
+    hot = spark.createDataFrame([(0,)], "k long")
+    for how in ("full", "right", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(f, d, "k", "rid", how=how)
+        with _pytest.raises(ValueError):
+            salted_join_hotkeys(f, d, "k", "rid", hot, how=how)
+    # fact-preserving forms still work
+    assert salted_join(f, d, "k", "rid", how="left").count() == 10
+
+
+def test_mixture_sample_rejects_absent_group(spark, sf_dir):
+    import pytest as _pytest
+
+    from job_datapipeline_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="absent"):
+        mixture_sample(docs, "lang", {"en": 0.5, "xx": 0.5}, "doc_id")

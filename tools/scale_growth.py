@@ -24,10 +24,11 @@ and paste the JSON into SCALE_GROWTH.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -78,7 +79,10 @@ def planted_corpus(spark, n_docs: int, words_per_doc: int = 40, dup_rate: float 
     dups = base.filter(F.col("doc_id") < n_dups).select(
         (F.col("doc_id") + n_docs).alias("doc_id"),
         # mutate: replace the first word with a marker -> ~97% shingle overlap
-        F.concat(F.lit("zqx "), F.substring_index(F.col("text"), " ", -(40 - 1))).alias("text"),
+        F.concat(
+            F.lit("zqx "),
+            F.substring_index(F.col("text"), " ", -(words_per_doc - 1)),
+        ).alias("text"),
     )
     return base.unionByName(dups)
 
