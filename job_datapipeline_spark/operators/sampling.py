@@ -178,6 +178,50 @@ def mixture_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    target_fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted Bernoulli sample: row i survives with probability
+    ``min(1, c * w_i)`` where ``c = target_fraction * N / sum(w)`` — so the
+    EXPECTED kept count is ``target_fraction * N`` and each row's chance is
+    proportional to its weight (quality-weighted / temperature-style corpus
+    reweighting). Zero/negative weights never survive.
+
+    Design notes for the hash gate: the draw is the usual md5(salt:key)
+    device, and the per-row threshold is built from ``c * w_i`` with
+    multiply/divide/floor ONLY — no pow/ln, whose last-ulp behavior varies
+    between libm implementations — so any SQL engine replays the exact
+    kept set. Rows with ``c * w_i >= 1`` always survive (the 'g' sentinel
+    sorts above every hex draw). Scale shape: one aggregate for (N,
+    sum(w)) broadcast as a 1-row frame, then a map-side filter.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(f"target_fraction must be in (0, 1] (got {target_fraction})")
+    totals = df.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(F.col(weight_col).cast("double")).alias("_sw"),
+    )
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 8
+    )
+    p = F.least(
+        F.lit(target_fraction) * F.col("_n") / F.col("_sw") * F.col(weight_col).cast("double"),
+        F.lit(1.0),
+    )
+    thr = F.when(p >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(p * F.lit(4294967296.0)).cast("bigint")), 8, "0"))
+    )
+    return (
+        df.crossJoin(F.broadcast(totals))
+        .filter((F.col(weight_col) > 0) & (draw < thr))
+        .drop("_n", "_sw")
+    )
+
+
 def split_assign(
     df: DataFrame, key_col: str, bounds: list[tuple[str, float]], salt: str = ""
 ) -> DataFrame:

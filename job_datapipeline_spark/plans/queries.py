@@ -3539,6 +3539,221 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_HIST_CAP = 250  # batch-vs-corpus demo: docs below this are "historical"
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < {_INC_HIST_CAP}),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= {_INC_HIST_CAP}
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM hist WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, text || ' zz inc tail' AS text
+        FROM hist WHERE doc_id % 11 = 0
+    ),
+    corpus AS (SELECT * FROM hist UNION ALL SELECT * FROM batch),
+    exact_hits AS (
+        SELECT DISTINCT b.doc_id
+        FROM batch b JOIN hist h
+          ON md5(regexp_replace(trim(lower(b.text)), '\\s+', ' ', 'g')) =
+             md5(regexp_replace(trim(lower(h.text)), '\\s+', ' ', 'g'))
+    ),
+    {_sql_shingles('corpus')}, {_SQL_SIG}, {_SQL_BANDED_CAND},
+    cross_cand AS (
+        SELECT id_a, id_b FROM cand
+        WHERE (id_a < {_INC_HIST_CAP}) <> (id_b < {_INC_HIST_CAP})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cross_cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    near_hits AS (
+        SELECT DISTINCT CASE WHEN i.id_a >= {_INC_HIST_CAP} THEN i.id_a ELSE i.id_b END AS doc_id
+        FROM cinter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) >= 0.8
+    )
+    SELECT b.doc_id,
+           (e.doc_id IS NOT NULL) AS is_exact_dup,
+           (n.doc_id IS NOT NULL) AS is_near_dup
+    FROM batch b
+    LEFT JOIN exact_hits e ON e.doc_id = b.doc_id
+    LEFT JOIN near_hits n ON n.doc_id = b.doc_id
+    """,
+    doc="Incremental batch dedup — the daily-ingest question: which NEW "
+        "docs duplicate the historical corpus? Exact hits via normalized-"
+        "md5 fingerprint join (functions/text.fingerprint); near hits via "
+        "MinHash->LSH over corpus+batch restricted to CROSS pairs (one "
+        "side historical, one side new — batch-internal dups are a "
+        "separate pass), Jaccard-verified at 0.8. Planted: every 7th "
+        "historical doc re-arrives verbatim, every 11th with a tail edit. "
+        "At 100 TB the historical side's signatures are a precomputed "
+        "table — only the batch re-shingles; the LSH band join prunes "
+        "corpus-side work to colliding buckets.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < _INC_HIST_CAP)
+    batch = (
+        docs.filter(F.col("doc_id") >= _INC_HIST_CAP)
+        .unionByName(
+            hist.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            hist.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz inc tail")).alias("text"),
+            )
+        )
+    )
+    exact_hits = (
+        batch.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
+        .join(
+            hist.select(fingerprint(F.col("text")).alias("_fp")).distinct(), "_fp"
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_ex", F.lit(True))
+    )
+    union_c = hist.unionByName(batch)
+    sigs = _D.minhash_signatures(union_c, num_hashes=_NDD_HASHES)
+    cands = _D.lsh_candidate_pairs(sigs, bands=_NDD_BANDS, rows_per_band=_NDD_RPB)
+    cross = cands.filter(
+        (F.col("id_a") < _INC_HIST_CAP) != (F.col("id_b") < _INC_HIST_CAP)
+    )
+    verified = _D.jaccard_verify(union_c, cross).filter(F.col("jaccard") >= 0.8)
+    near_hits = (
+        verified.select(
+            F.when(F.col("id_a") >= _INC_HIST_CAP, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_nr", F.lit(True))
+    )
+    return (
+        batch.join(exact_hits, "doc_id", "left")
+        .join(near_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_ex", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("_nr", F.lit(False)).alias("is_near_dup"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_sql_capped_corpus(_CC_CAP)}, {_sql_shingles('corpus')},
+    {_SQL_SIG}, {_SQL_BANDED_CAND},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    edges AS (
+        SELECT i.id_a, i.id_b FROM cinter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) >= 0.8
+    ),
+    bi AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.a, bi.dst FROM reach r JOIN bi ON bi.src = r.b
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a)
+    SELECT c.component_id,
+           count(*) AS n_members,
+           max_by(c.doc_id, length(co.text) * 1000000 + c.doc_id) AS rep_doc_id,
+           CAST(max(length(co.text)) AS BIGINT) AS max_len
+    FROM comp c JOIN corpus co ON co.doc_id = c.doc_id
+    GROUP BY c.component_id
+    """,
+    doc="Quality-aware survivor selection over transitive dup clusters — "
+        "the step after clustering in a real curation pipeline: instead of "
+        "keep-min-id, each component keeps its LONGEST member (argmax by "
+        "an integer-packed (length, doc_id) key: multiply/add only, so "
+        "both engines break ties identically without relying on composite-"
+        "key max_by semantics). One join + one hash aggregate on top of "
+        "the connected-components fixpoint; the oracle extends the same "
+        f"recursive-SQL reachability. Demo corpus bounded to base doc_id < {_CC_CAP}.",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _capped_planted(spark, sf_dir, _CC_CAP)
+    clusters = _D.near_dedup_clusters(
+        corpus, num_hashes=_NDD_HASHES, bands=_NDD_BANDS, threshold=0.8
+    )
+    return (
+        clusters.join(corpus, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max_by(
+                "doc_id", F.length("text") * F.lit(1000000) + F.col("doc_id")
+            ).alias("rep_doc_id"),
+            F.max(F.length("text")).cast("bigint").alias("max_len"),
+        )
+    )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(n_chars AS DOUBLE)) AS sw
+        FROM documents),
+    kept AS (
+        SELECT d.lang, d.n_chars
+        FROM documents d, tot
+        WHERE d.n_chars > 0
+          AND substring(md5('wsamp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+              (CASE WHEN least(0.3 * tot.n / tot.sw * CAST(d.n_chars AS DOUBLE), 1.0) >= 1.0
+                    THEN 'g'
+                    ELSE lower(lpad(to_hex(CAST(floor(
+                         least(0.3 * tot.n / tot.sw * CAST(d.n_chars AS DOUBLE), 1.0)
+                         * 4294967296.0) AS BIGINT)), 8, '0'))
+               END))
+    SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM kept GROUP BY lang
+    """,
+    doc="Per-row weighted sampling (operators/sampling.weighted_sample): "
+        "survival probability proportional to a weight column (here "
+        "n_chars — longer docs likelier kept), normalized in-plan so the "
+        "expected kept fraction is 30%. The temperature-style corpus "
+        "reweighting step, built from multiply/divide/floor only (no "
+        "pow/ln whose last-ulp behavior varies across libm "
+        "implementations), so the oracle replays the exact kept set "
+        "including the data-dependent normalizer.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    kept = _SMP.weighted_sample(docs, "doc_id", "n_chars", 0.3, salt="wsamp")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
 @register(
     "streaming_incremental_parquet",
     oracle="""
