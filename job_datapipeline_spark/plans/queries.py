@@ -4167,6 +4167,455 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 widening: TPC-H-style multi-join analytics (Q3/Q14/Q18 shapes),
+# subquery forms (EXISTS via left-semi, scalar subquery via broadcast
+# 1-row agg), ntile bucketing, MapType scalar surface, Gopher-style
+# quality rules, and cross-document common-span (boilerplate) detection.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): two selective dimension "
+        "filters pushed below a 3-way join, grouped revenue, global "
+        "top-10. Filters reach the parquet scans (PushedFilters), the "
+        "customer side shrinks ~5x before the join, and the final "
+        "ORDER+LIMIT is a TakeOrderedAndProject (per-partition top-10 "
+        "then a 10-row driver merge — never a full sort). Tiebreak "
+        "(revenue, o_orderdate, l_orderkey) totally orders rows so the "
+        "selected set is deterministic cross-engine.",
+)
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_promo_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_promo_lines,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promotion revenue share): fact-to-dim join with "
+        "a conditional-aggregate ratio in ONE pass — no second scan, no "
+        "self-join; the CASE folds into the partial aggregate so only "
+        "three accumulators cross the shuffle. The date range prunes the "
+        "lineitem scan; part joins on its unique key (sort-merge or "
+        "AQE-chosen broadcast, not forced — at 100 TB the part dim is "
+        "itself billions of rows).",
+)
+def tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_promo = F.col("p_type") == "PROMO"
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(is_promo, disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_share_pct"),
+            F.sum(F.when(is_promo, 1).otherwise(0)).cast("bigint").alias("n_promo_lines"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY sum_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): a HAVING-filtered "
+        "aggregate becomes a keep-list that SEMI-joins back into the "
+        "fact before the wide join — lineitem is re-aggregated only for "
+        "the ~0.1% of orders that survive, and customer/orders join "
+        "against that tiny set. Quantities are integral in the corpus so "
+        "the >250 threshold has no float-boundary risk. "
+        "TakeOrderedAndProject for the final top-20.",
+)
+def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    li_big = li.join(
+        F.broadcast(big.select(F.col("l_orderkey").alias("_bk"))),
+        F.col("l_orderkey") == F.col("_bk"),
+        "left_semi",
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li_big, o.o_orderkey == li_big.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "subquery_exists_high_value",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY n_name
+    """,
+    doc="Correlated EXISTS subquery, Spark-first: decorrelated by hand "
+        "into a LEFT SEMI join against the filtered orders side (exactly "
+        "what Catalyst's RewritePredicateSubquery produces for EXISTS). "
+        "The o_totalprice filter pushes to the orders scan; the semi-join "
+        "emits each customer at most once with no dedup step; nation "
+        "broadcasts.",
+)
+def subquery_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        "o_custkey"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "subquery_scalar_above_avg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_above,
+           round(avg(o_totalprice), 2) AS avg_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    doc="Scalar subquery (orders above the global mean price): the 1-row "
+        "global aggregate is computed once and BROADCAST into the filter "
+        "via a crossJoin — the fact table is scanned, never collected, "
+        "and the comparison stays in codegen. Boundary-safe: the nearest "
+        "o_totalprice sits >2.0 from the mean at every sf (verified), "
+        "so cross-engine 1-ulp mean differences cannot flip a row.",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    avg1 = o.agg(F.avg("o_totalprice").alias("_global_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg1))
+        .filter(F.col("o_totalprice") > F.col("_global_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_above"),
+        )
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer)
+    SELECT c_mktsegment, quartile, count(*) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM q
+    GROUP BY c_mktsegment, quartile
+    """,
+    doc="ntile bucketing per market segment: equal-height quartiles of "
+        "account balance with a (c_acctbal, c_custkey) total order so "
+        "bucket assignment is deterministic cross-engine. Partitioned "
+        "window — each segment sorts independently. SCALE NOTE: an "
+        "UNpartitioned ntile is a single-reducer global sort; at 100 TB "
+        "use approx-percentile cutpoints (agg_percentiles_approx) to "
+        "bucket map-side instead.",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "scalar_map_ops",
+    oracle="""
+    SELECT event_id,
+           'bucket,kind,src' AS keys_sorted,
+           3 AS n_keys,
+           event_type AS kind_val,
+           CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS bucket_val,
+           upper(event_type) AS kind_upper,
+           CAST(len(string_split(event_type, '')) > 4 AS BOOLEAN) AS kind_is_long
+    FROM events
+    """,
+    doc="MapType scalar surface: map_from_arrays build, map_concat merge, "
+        "element_at probe, sorted map_keys, size, and transform_values "
+        "(a Catalyst lambda over map entries) — all codegen'd "
+        "expressions, no UDF. The oracle replays the same values from "
+        "the base columns (DuckDB's MAP literals differ, so equivalence "
+        "is asserted on the extracted scalars, which is what downstream "
+        "consumers see).",
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    m1 = F.map_from_arrays(
+        F.array(F.lit("kind"), F.lit("src")),
+        F.array(F.col("event_type"), F.lit("events")),
+    )
+    m2 = F.create_map(
+        F.lit("bucket"),
+        F.when(F.col("value") > 50.0, F.lit("high")).otherwise(F.lit("low")),
+    )
+    merged = F.map_concat(m1, m2)
+    upper_map = F.transform_values(merged, lambda _k, v: F.upper(v))
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("keys_sorted"),
+        F.size(merged).alias("n_keys"),
+        F.element_at(merged, "kind").alias("kind_val"),
+        F.element_at(merged, "bucket").alias("bucket_val"),
+        F.element_at(upper_map, "kind").alias("kind_upper"),
+        (F.length(F.element_at(merged, "kind")) > 4).alias("kind_is_long"),
+    )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+    s AS (SELECT doc_id,
+                 CAST(sum(n) AS BIGINT) AS n_words,
+                 CAST(max(n) AS BIGINT) AS top_n,
+                 CAST(count(*) AS BIGINT) AS n_uniq,
+                 CAST(sum(n * length(tok)) AS BIGINT) AS char_sum
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           round(char_sum / n_words, 4) AS mean_word_len,
+           round(top_n / n_words, 4) AS top_token_frac,
+           round(n_uniq / n_words, 4) AS uniq_ratio,
+           (n_words BETWEEN 40 AND 500
+            AND round(char_sum / n_words, 4) BETWEEN 2.5 AND 8.0
+            AND round(top_n / n_words, 4) <= 0.12
+            AND round(n_uniq / n_words, 4) >= 0.4) AS keep
+    FROM s
+    """,
+    doc="Gopher-style quality rules (Rae et al. 2021, public): word-count "
+        "bounds, mean word length, most-common-token fraction, unique-"
+        "token ratio, combined into a keep flag. ENTIRELY MAP-SIDE: the "
+        "per-doc top-token count is a fold (F.aggregate) over the SORTED "
+        "token array — longest equal-run — so no (doc, token) explode-"
+        "shuffle ever happens; at 100 TB this is a pure scan. Thresholds "
+        "are applied to the ROUNDED ratios on both engines so the keep "
+        "flag is deterministic. Oracle replays via explode + two-level "
+        "aggregation.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = F.sort_array(tokenize(F.col("text")))
+    run_state = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    char_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        run_state.alias("top_n"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        char_sum.alias("char_sum"),
+    )
+    mean_len = F.round(F.col("char_sum") / F.col("n_words"), 4)
+    top_frac = F.round(F.col("top_n") / F.col("n_words"), 4)
+    uniq = F.round(F.col("n_uniq") / F.col("n_words"), 4)
+    return base.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        top_frac.alias("top_token_frac"),
+        uniq.alias("uniq_ratio"),
+        (
+            F.col("n_words").between(40, 500)
+            & mean_len.between(2.5, 8.0)
+            & (top_frac <= 0.12)
+            & (uniq >= 0.4)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "dedup_common_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               md5(tk[i] || ' ' || tk[i + 1]) AS g
+        FROM toks, unnest(range(1, len(tk))) AS r(i)
+        WHERE len(tk) >= 2),
+    freq AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g),
+    per_doc AS (
+        SELECT grams.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM grams JOIN freq USING (g)
+        GROUP BY grams.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_shared,
+           round(n_shared / n_grams, 4) AS shared_frac
+    FROM per_doc
+    """,
+    doc="Cross-document common-span (boilerplate) detection, CCNet-style: "
+        "per-doc DISTINCT word-bigram set -> md5 span keys -> corpus "
+        "document-frequency -> fraction of each doc's spans that also "
+        "appear in some other document. Scale shape: explode only "
+        "DISTINCT per-doc grams (bounded by doc length), one hash-agg on "
+        "a fixed-width 32-char key, one equi-join back — O(total grams), "
+        "never O(n_docs^2); the same span-key layout CCNet/RefinedWeb "
+        "use for paragraph dedup at web scale.",
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    from ..functions.text import word_ngrams as _wng
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(_wng(tokenize(F.col("text")), 2), F.md5)
+            )
+        ).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        grams.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("shared_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
 # (tools/check.py runs all of it), but the hard gate's window should hold

@@ -151,3 +151,38 @@ def test_sink_roundtrip_reads_only_newest_partition(spark, sf_dir):
     run_date — older run directories are pruned at planning time."""
     plan = _plan(REGISTRY["sink_roundtrip_newest_partition"].fn(spark, sf_dir))
     assert "PartitionFilters" in plan and "run_date" in plan
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_dir):
+    """The Gopher-style quality pass computes the top-token fraction as a
+    fold over the sorted token array — no (doc, token) explode, so the
+    whole query is a pure scan: zero exchanges."""
+    plan = _plan(REGISTRY["text_gopher_rules"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, "quality rules must stay map-side"
+
+
+def test_shipping_priority_take_ordered_and_pushed_filters(spark, sf_dir):
+    """Q3 shape: the top-10 is a TakeOrderedAndProject (per-partition heap,
+    10-row merge — never a full sort) and the segment filter reaches the
+    customer parquet scan."""
+    plan = _plan(REGISTRY["tpch_shipping_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_large_orders_semi_join_before_wide_join(spark, sf_dir):
+    """Q18 shape: the HAVING keep-list prunes via semi joins; nothing
+    cartesian, and the final top-20 never global-sorts."""
+    plan = _plan(REGISTRY["tpch_large_orders"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scalar_subquery_broadcasts_one_row_agg(spark, sf_dir):
+    """The scalar-subquery pattern must broadcast the 1-row global
+    aggregate (BroadcastNestedLoopJoin over a single row), never
+    a shuffled cartesian."""
+    plan = _plan(REGISTRY["subquery_scalar_above_avg"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
