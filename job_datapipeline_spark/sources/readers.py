@@ -75,6 +75,35 @@ def read_scraped_csv(
     return df
 
 
+def read_csv_permissive(
+    spark: SparkSession,
+    path_glob: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Typed CSV scan that QUARANTINES malformed rows instead of failing
+    or silently dropping them: every row that cannot be parsed against the
+    schema (bad type, extra fields) comes back with its raw line in
+    ``corrupt_col`` and nulls in the unparseable fields, so a 100 TB
+    ingest can split clean rows from a dead-letter stream in one pass.
+
+    The reference has no malformed-row story at all — ``pd.read_csv``
+    (cleaner.py:26) just throws and the whole 5x-retry loop re-reads the
+    bucket. Mode notes for callers: FAILFAST turns the first bad row into
+    a job failure; DROPMALFORMED is a trap under column pruning — a
+    ``count()`` parses no columns, so nothing is "malformed" and nothing
+    drops (pinned in tests/test_sources.py).
+    """
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    return (
+        spark.read.schema(full)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path_glob)
+    )
+
+
 def newest_partition_value(spark: SparkSession, root: str, partition_col: str) -> str:
     """The max value of a partition column — reads partition METADATA only
     (the column is directory-derived, so no row data moves).

@@ -696,3 +696,33 @@ def test_mixture_sample_rejects_absent_group(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     with _pytest.raises(ValueError, match="absent"):
         mixture_sample(docs, "lang", {"en": 0.5, "xx": 0.5}, "doc_id")
+
+
+def test_kmeans_refinement_does_not_increase_objective(spark, sf_dir):
+    """Lloyd's algorithm guarantees the within-cluster sum of squared
+    distances is non-increasing across an assign->update->reassign
+    iteration; verify on the embeddings corpus (small epsilon absorbs the
+    6dp centroid rounding the cross-engine oracle needs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from job_datapipeline_spark.functions.vectors import l2_distance
+    from job_datapipeline_spark.plans.queries import _IVF_CENT_IDS, REGISTRY
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents0 = emb.filter(F.col("vec_id").isin(*_IVF_CENT_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("_cent")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
+    a0 = (
+        emb.select("vec_id", F.col("embedding").alias("_v"))
+        .join(F.broadcast(cents0))
+        .withColumn("_d", l2_distance(F.col("_v"), F.col("_cent")))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+    ssd0 = a0.agg(F.sum(F.col("_d") * F.col("_d"))).first()[0]
+    out = REGISTRY["embedding_kmeans_refine"].fn(spark, sf_dir).toPandas()
+    ssd1 = float((out["mean_dist"] ** 2 * out["n_vecs"]).sum())
+    assert out["n_vecs"].sum() == emb.count()  # every vector assigned once
+    assert ssd1 <= ssd0 * 1.001, (ssd0, ssd1)

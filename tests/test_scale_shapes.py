@@ -186,3 +186,31 @@ def test_scalar_subquery_broadcasts_one_row_agg(spark, sf_dir):
     plan = _plan(REGISTRY["subquery_scalar_above_avg"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim-side filter on a
+    shuffle join injects a bloom filter into the fact-side scan (Spark's
+    RuntimeFilter rule, on by default). At 100 TB this turns 'shuffle all
+    of lineitem, drop 95% at the join' into 'drop 95% at the scan'. The
+    10 GB application-side threshold means local test data never triggers
+    it, so the thresholds are lowered here to the shapes a real cluster
+    would see."""
+    old = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, sf_dir, "lineitem")
+        p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+        j = li.join(p, li.l_partkey == p.p_partkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, "bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

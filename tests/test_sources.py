@@ -157,3 +157,50 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     # spark reads its own jsonl back
     back = spark.read.json(path)
     assert back.count() == 2
+
+
+def test_csv_permissive_quarantines_malformed_rows(spark):
+    """PERMISSIVE + corrupt-record column: bad type, short row, and
+    extra-field rows all surface with their raw line; clean rows parse."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from job_datapipeline_spark.sources.readers import read_csv_permissive
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType()),
+         StructField("score", DoubleType())]
+    )
+    df = read_csv_permissive(
+        spark, "/root/repo/tests/fixtures/csv_corrupt/*.csv", schema
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert len(rows) == 8
+    corrupt = {n for n, r in rows.items() if r["_corrupt_record"] is not None}
+    assert corrupt == {"gamma", "delta", "zeta", "eta"}
+    assert rows["gamma"]["id"] is None and rows["gamma"]["score"] == 3.5
+    assert rows["delta"]["score"] is None and rows["delta"]["id"] == 4
+    assert rows["eta"]["_corrupt_record"] == "7,eta,7.0,extra"
+    assert rows["alpha"]["_corrupt_record"] is None
+
+
+def test_csv_failfast_raises_and_dropmalformed_prune_trap(spark):
+    """FAILFAST fails the job on the first bad row. DROPMALFORMED under
+    column pruning is a TRAP: count() parses no data columns, so no row is
+    malformed and nothing drops; materializing the typed columns drops the
+    4 bad rows. Pinned so a Spark upgrade changing either behavior fails
+    loudly."""
+    import pytest as _pytest
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType()),
+         StructField("score", DoubleType())]
+    )
+    glob = "/root/repo/tests/fixtures/csv_corrupt/*.csv"
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        (spark.read.schema(schema).option("header", True)
+         .option("mode", "FAILFAST").csv(glob).collect())
+    dropped = (spark.read.schema(schema).option("header", True)
+               .option("mode", "DROPMALFORMED").csv(glob))
+    assert dropped.count() == 8  # pruning trap: nothing parsed, nothing dropped
+    assert len(dropped.collect()) == 4  # real parse drops the bad rows
