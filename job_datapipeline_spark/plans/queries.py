@@ -4857,6 +4857,284 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_sketch_mergeable",
+    oracle="""
+    WITH per AS (
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+        FROM lineitem GROUP BY l_returnflag),
+    g AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
+    SELECT l_returnflag, CAST(n_exact AS BIGINT) AS n_exact,
+           true AS within_tol
+    FROM per
+    UNION ALL
+    SELECT '__ALL__' AS l_returnflag, CAST(n_exact AS BIGINT), true FROM g
+    """,
+    doc="MERGEABLE distinct-count sketches (Apache DataSketches HLL, "
+        "hll_sketch_agg/hll_union_agg): per-group sketches are built once "
+        "and the GLOBAL estimate comes from unioning the group sketches — "
+        "no second scan of the fact table. This mergeability is the whole "
+        "100 TB sketch story: precompute per-partition/per-day sketches, "
+        "answer any rollup by union. Exact counts ride a separate narrow "
+        "aggregation (see agg_approx_distinct for why combining them "
+        "drags sketch bytes through the dedup shuffle); verdicts assert "
+        "estimates within 5% (lgK=12 HLL is ~1% rsd, many sigma).",
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    sk = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact")
+    )
+    per = sk.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("within_tol"),
+    )
+    gsk = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.hll_sketch_estimate("u").alias("est")
+    )
+    gex = li.agg(F.count_distinct("l_partkey").alias("n_exact"))
+    grow = gex.crossJoin(F.broadcast(gsk)).select(
+        F.lit("__ALL__").alias("l_returnflag"),
+        "n_exact",
+        (F.abs(F.col("est") - F.col("n_exact")) <= F.lit(0.05) * F.col("n_exact")).alias(
+            "within_tol"
+        ),
+    )
+    return per.unionByName(grow)
+
+
+@register(
+    "agg_quantile_sketch_mergeable",
+    oracle="""
+    WITH per AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.40), 4) AS q40,
+               round(quantile_cont(l_extendedprice, 0.60), 4) AS q60
+        FROM lineitem GROUP BY l_returnflag),
+    g AS (SELECT round(quantile_cont(l_extendedprice, 0.40), 4) AS q40,
+                 round(quantile_cont(l_extendedprice, 0.60), 4) AS q60
+          FROM lineitem)
+    SELECT l_returnflag, q40, q60, true AS p50_within_band FROM per
+    UNION ALL
+    SELECT '__ALL__' AS l_returnflag, q40, q60, true FROM g
+    """,
+    doc="MERGEABLE quantile sketches (DataSketches KLL, "
+        "kll_sketch_agg_double): per-group sketches answer group p50s, "
+        "and the GLOBAL p50 comes from fold-merging the group sketches "
+        "(F.aggregate over collect_list with kll_sketch_merge_double — "
+        "Spark 4 ships merge as a scalar, so the fold IS the union "
+        "aggregate; K group sketches of ~KB each, driver never sees raw "
+        "values). Verdict: sketch p50 lands inside the exact q40..q60 "
+        "band (KLL k=200 rank error ~1.65% << the 10% band). The exact "
+        "quantiles are the VERIFICATION side and share agg_percentiles' "
+        "small-group-only caveat; the sketch path is what scales.",
+)
+def agg_quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.40)), 4).alias("q40"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.60)), 4).alias("q60"),
+    )
+    p50 = F.kll_sketch_get_quantile_double("sk", F.lit(0.5))
+    per = sk.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "q40",
+        "q60",
+        ((p50 >= F.col("q40")) & (p50 <= F.col("q60"))).alias("p50_within_band"),
+    )
+    merged = sk.agg(F.collect_list("sk").alias("arr")).select(
+        F.aggregate(
+            F.slice("arr", 2, 1_000_000),
+            F.element_at("arr", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("m")
+    )
+    gexact = li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.40)), 4).alias("q40"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.60)), 4).alias("q60"),
+    )
+    gp50 = F.kll_sketch_get_quantile_double("m", F.lit(0.5))
+    grow = gexact.crossJoin(F.broadcast(merged)).select(
+        F.lit("__ALL__").alias("l_returnflag"),
+        "q40",
+        "q60",
+        ((gp50 >= F.col("q40")) & (gp50 <= F.col("q60"))).alias("p50_within_band"),
+    )
+    return per.unionByName(grow)
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F_total,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)   AS F_n,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O_total,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)   AS O_n,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P_total,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)   AS P_n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pivot with MULTIPLE aggregates per cell (sum + count) and "
+        "EXPLICIT pivot values — one single-pass aggregate, 6 output "
+        "measures, no per-value scans. Explicit values matter at scale: "
+        "without them Spark runs an eager distinct() JOB at plan time to "
+        "discover columns. Oracle replays as conditional aggregation "
+        "(what the pivot compiles to).",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),  # count(*) is invalid inside pivot
+        )
+    )
+
+
+@register(
+    "text_first_occurrence",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        FROM documents WHERE trim(text) <> ''),
+    pos AS (
+        SELECT doc_id, unnest(tk) AS tok,
+               generate_subscripts(tk, 1) AS pos
+        FROM toks)
+    SELECT doc_id, tok, CAST(min(pos) AS BIGINT) AS first_pos
+    FROM pos
+    WHERE tok IN ('spark', 'data', 'query')
+    GROUP BY doc_id, tok
+    """,
+    doc="Positional tokenization: posexplode keeps each token's offset, "
+        "min(pos) per (doc, token) finds first occurrences of a probe "
+        "vocabulary — the building block for proximity features and "
+        "lead-paragraph heuristics. The IN filter lands before the "
+        "aggregation so only probe tokens shuffle. 1-based positions to "
+        "match SQL generate_subscripts.",
+)
+def text_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    exploded = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos0", "tok")
+    )
+    return (
+        exploded.filter(F.col("tok").isin("spark", "data", "query"))
+        .groupBy("doc_id", "tok")
+        .agg(F.min(F.col("pos0") + 1).cast("bigint").alias("first_pos"))
+    )
+
+
+@register(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           CAST(count(c_acctbal) AS BIGINT) AS n_with_balance,
+           round(sum(coalesce(c_acctbal, 0.0)), 2) AS bal_sum
+    FROM (
+        SELECT c_custkey, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 2 = 1) u
+    GROUP BY c_mktsegment
+    """,
+    doc="Parquet SCHEMA EVOLUTION round trip: batch 1 is written without "
+        "c_acctbal, batch 2 adds it; a mergeSchema read unions the "
+        "footers so old files surface the new column as null — the "
+        "add-a-column ingest pattern every long-lived 100 TB dataset "
+        "hits. mergeSchema is opt-in per read (or "
+        "spark.sql.parquet.mergeSchema) because footer-merging all files "
+        "costs a metadata pass; partition-pruned reads only merge "
+        "surviving files. Oracle rebuilds the same union from the source "
+        "rows.",
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schema_evo_") + "/customers"
+    c = table(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_mktsegment")
+    v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v1.write.mode("append").parquet(base)
+    v2.write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("c_acctbal").alias("n_with_balance"),
+        F.round(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("bal_sum"),
+    )
+
+
+@register(
+    "scalar_struct_ops",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderstatus, round(o_totalprice, 2) AS price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderstatus DESC,
+                                           round(o_totalprice, 2) DESC) AS r
+        FROM orders),
+    gt AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderstatus > 'O'
+                             OR (o_orderstatus = 'O'
+                                 AND round(o_totalprice, 2) > 100000.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_gt
+        FROM orders GROUP BY o_custkey)
+    SELECT ranked.o_custkey,
+           ranked.o_orderstatus AS top_status,
+           ranked.price AS top_price,
+           gt.n_gt
+    FROM ranked JOIN gt ON ranked.o_custkey = gt.o_custkey
+    WHERE ranked.r = 1
+    """,
+    doc="StructType scalar surface: named_struct build, struct-valued "
+        "MAX (lexicographic field ordering — one hash aggregate replaces "
+        "the sort+row_number idiom for argmax over a composite), struct "
+        "comparison against a literal struct, and field access on an "
+        "aggregated struct. The oracle replays struct ordering as the "
+        "equivalent multi-key ORDER BY and the comparison as its "
+        "expanded boolean form.",
+)
+def scalar_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    lit_s = F.struct(F.lit("O").alias("status"), F.lit(100000.0).alias("price"))
+    return (
+        o.select("o_custkey", s.alias("s"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max("s").alias("top"),
+            F.sum(F.when(F.col("s") > lit_s, 1).otherwise(0)).cast("bigint").alias("n_gt"),
+        )
+        .select(
+            "o_custkey",
+            F.col("top.status").alias("top_status"),
+            F.col("top.price").alias("top_price"),
+            "n_gt",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally

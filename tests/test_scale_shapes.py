@@ -214,3 +214,42 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_range_sorted_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Data LAYOUT as a pruning lever: repartitionByRange +
+    sortWithinPartitions on the filter column gives each parquet file/row-
+    group a narrow min/max span, so a date-window scan skips most of the
+    dataset from footer stats alone. A hash-shuffled layout leaves every
+    row group spanning the full date range — zero skipping. At 100 TB
+    this is the difference between reading one week and reading five
+    years."""
+    import datetime
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    (li.repartition(8)  # hash round-robin: every file spans the full range
+       .write.mode("overwrite").parquet(str(tmp_path / "hashed")))
+    (li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate")
+       .write.mode("overwrite").parquet(str(tmp_path / "ranged")))
+
+    lo = datetime.datetime(1998, 3, 1)
+    hi = datetime.datetime(1998, 3, 31, 23, 59, 59)
+
+    def surviving_fraction(path: str) -> float:
+        spans = []
+        for f in g.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("l_shipdate")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                assert st is not None and st.has_min_max
+                spans.append((st.min, st.max))
+        hit = sum(1 for mn, mx in spans if not (mx < lo or mn > hi))
+        return hit / len(spans)
+
+    assert surviving_fraction(str(tmp_path / "hashed")) == 1.0
+    assert surviving_fraction(str(tmp_path / "ranged")) <= 0.5
