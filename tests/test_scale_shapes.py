@@ -253,3 +253,16 @@ def test_range_sorted_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
 
     assert surviving_fraction(str(tmp_path / "hashed")) == 1.0
     assert surviving_fraction(str(tmp_path / "ranged")) <= 0.5
+
+
+def test_disjunctive_predicate_pushes_side_local_residues(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs spans both join sides, but CNF extraction
+    must land the quantity disjunction on the lineitem SCAN and the
+    brand/size disjunction on the part SCAN — each side prunes before the
+    join even though no original conjunct is single-sided."""
+    plan = _plan(REGISTRY["tpch_disjunctive_filter"].fn(spark, sf_dir))
+    scans = [seg for seg in plan.split("FileScan parquet") if "DataFilters" in seg]
+    li_scan = next(s for s in scans if "lineitem" in s)
+    p_scan = next(s for s in scans if "part.parquet" in s)
+    assert "l_quantity" in li_scan.split("DataFilters")[1].split("]")[0]
+    assert "Brand#12" in p_scan.split("DataFilters")[1]
