@@ -5417,6 +5417,45 @@ def events_scd2_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_stats_suite",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4)             AS price_stddev,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS price_per_qty_slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4)     AS fit_r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregate surface: Pearson correlation, sample "
+        "covariance, sample stddev, and least-squares regression "
+        "(slope/intercept/R²) per group — all single-pass algebraic "
+        "aggregates (each is a few moment accumulators: n, Σx, Σy, Σxy, "
+        "Σx², Σy²), so they map-side combine and merge exactly like "
+        "sum/count; nothing buffers group values. Spark and DuckDB share "
+        "the textbook definitions — values match to 4dp rounding.",
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty_slope"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("fit_r2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
