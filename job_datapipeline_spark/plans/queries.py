@@ -5456,6 +5456,111 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_pagerank_bipartite",
+    oracle="""
+    WITH edges0 AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT src, dst FROM edges0
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM edges0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+    pr1 AS (
+        SELECT v.node, 0.15 / v.n + 0.85 * coalesce(s.inflow, 0.0) AS pr
+        FROM (SELECT node, nn.n FROM nodes, nn) v
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / d.outdeg) AS inflow
+            FROM edges e
+            JOIN pr0 p ON e.src = p.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.node = s.node),
+    pr2 AS (
+        SELECT v.node, 0.15 / v.n + 0.85 * coalesce(s.inflow, 0.0) AS pr
+        FROM (SELECT node, nn.n FROM nodes, nn) v
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr / d.outdeg) AS inflow
+            FROM edges e
+            JOIN pr1 p ON e.src = p.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON v.node = s.node)
+    SELECT node, pagerank, rank FROM (
+        SELECT node, round(pr, 8) AS pagerank,
+               row_number() OVER (ORDER BY round(pr, 8) DESC, node) AS rank
+        FROM pr2) x
+    WHERE rank <= 20
+    """,
+    doc="Two PageRank power iterations over the customer-supplier "
+        "purchase graph (undirected-ized so no dangling mass), entirely "
+        "declarative: edges + degrees are built once and checkpointed, "
+        "each iteration is one inflow aggregation (sum of pr/outdeg over "
+        "incoming edges) + one broadcast of the 1-row node count for the "
+        "teleport term. The second iterative-algorithm witness next to "
+        "connected components and k-means: at 100 TB each iteration is "
+        "one edge-partitioned shuffle, ranks stay O(nodes), and "
+        "iterations chain through checkpoints exactly like GraphX/Pregel "
+        "structures them. Oracle: the two iterations unrolled as CTEs.",
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    contrib_edges = edges.join(deg, "src").localCheckpoint()
+
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(2):
+        inflow = (
+            contrib_edges.join(pr, contrib_edges.src == pr.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    # top-20 FIRST via TakeOrderedAndProject (per-partition heap, 20-row
+    # merge), THEN a rank window over the 20 survivors — the global
+    # row_number-then-filter form would single-partition ALL nodes.
+    top = (
+        pr.select("node", F.round("pr", 8).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("node"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("pagerank"), F.asc("node"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
