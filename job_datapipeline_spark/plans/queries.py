@@ -5561,6 +5561,251 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+# Toy video container for the frame-sampling seam: 4-byte LE frame count,
+# then 16 "pixel" bytes per frame, deterministic per (frame, byte, count).
+_VID_FIXTURES = (("vid_001.vid", 7), ("vid_002.vid", 4), ("vid_003.vid", 11))
+_VID_EVERY_N = 3
+
+
+def _vid_bytes(n_frames: int) -> bytes:
+    body = bytes(
+        (i * 13 + j * 7 + n_frames) % 256 for i in range(n_frames) for j in range(16)
+    )
+    return n_frames.to_bytes(4, "little") + body
+
+
+def _toy_frame_decoder(content: bytes, every_n: int) -> list:
+    """Deterministic stand-in codec for sample_video_frames' injection
+    seam (sources/multimodal.py:336-351): parses the toy container and
+    emits (frame_index, [mean_lum, max_lum]) for every n-th frame."""
+    n = int.from_bytes(content[:4], "little")
+    out = []
+    for i in range(0, n, every_n):
+        chunk = content[4 + 16 * i : 4 + 16 * (i + 1)]
+        out.append(
+            (i, [round(sum(chunk) / 16 / 255, 6), round(max(chunk) / 255, 6)])
+        )
+    return out
+
+
+def _vid_golden_values_sql() -> str:
+    rows = []
+    for name, n_frames in _VID_FIXTURES:
+        for idx, feats in _toy_frame_decoder(_vid_bytes(n_frames), _VID_EVERY_N):
+            rows.append(f"('{name}', {idx}, {feats[0]!r}, {feats[1]!r})")
+    return ", ".join(rows)
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="SELECT * FROM (VALUES "
+    + _vid_golden_values_sql()
+    + ") AS t(file, frame_index, mean_lum, max_lum)",
+    doc="Video frame-sampling plumbing under the hash gate: binaryFile "
+        "scan -> sample_video_frames (one output row per sampled frame, "
+        "Arrow-batched mapInPandas fan-out) with a DETERMINISTIC toy "
+        "container codec injected through the production seam — no video "
+        "lib ships in this environment, so the codec is synthetic by "
+        "design (sources/multimodal.py raises without an injected "
+        "decoder); the schema, every-n sampling, row fan-out, and worker "
+        "shipping are the real contract an ffmpeg/pyav deployment plugs "
+        "into. Golden oracle: the same container spec replayed "
+        "independently at registration time.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.multimodal import read_binary_dir, sample_video_frames
+
+    base = tempfile.mkdtemp(prefix="vid_fixtures_")
+    for name, n_frames in _VID_FIXTURES:
+        with open(os.path.join(base, name), "wb") as fh:
+            fh.write(_vid_bytes(n_frames))
+    blobs = read_binary_dir(spark, base, "*.vid")
+    frames = sample_video_frames(
+        blobs, every_n=_VID_EVERY_N, frame_decoder=_toy_frame_decoder
+    )
+    return frames.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "frame_index",
+        F.round(F.element_at("frame_features", 1), 6).alias("mean_lum"),
+        F.round(F.element_at("frame_features", 2), 6).alias("max_lum"),
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH shifted AS (
+        SELECT date_trunc('hour', ts) AS w_start, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w_start, value
+        FROM events)
+    SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM shifted
+    GROUP BY w_start
+    """,
+    doc="SLIDING event-time windows (2 h duration, 1 h slide) via "
+        "F.window — each event lands in exactly duration/slide = 2 "
+        "windows; the oracle replays that as a union of the two shifted "
+        "hour-truncations. Same aggregate shape batch or streaming "
+        "(streaming_hourly_rollup is the tumbling twin); the window "
+        "explode happens map-side before one hash aggregate.",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+               sum(value) AS hour_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)),
+    scored AS (
+        SELECT user_id, hour_ts, hour_value,
+               avg(hour_value) OVER w AS mu,
+               stddev_samp(hour_value) OVER w AS sigma,
+               count(*) OVER w AS n_window
+        FROM hourly
+        WINDOW w AS (PARTITION BY user_id ORDER BY hour_ts
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, hour_ts, round(hour_value, 2) AS hour_value,
+           round((hour_value - mu) / sigma, 4) AS zscore
+    FROM scored
+    WHERE n_window >= 6 AND sigma > 1e-9
+      AND abs((hour_value - mu) / sigma) > 2.5
+    """,
+    doc="Rolling z-score anomaly detection: per-user hourly rollup, then "
+        "a trailing 24-row window (PRECEDING-only — the current point "
+        "never contaminates its own baseline) computing mean/stddev, "
+        "flagging |z| > 2.5 with a minimum-history guard. One aggregate "
+        "+ one window exchange, both on user_id. The streaming analogue "
+        "drops in as a stateful aggregation over the same hourly keys.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.sum("value").alias("hour_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(-24, -1)
+    )
+    z = (F.col("hour_value") - F.avg("hour_value").over(w)) / F.stddev_samp(
+        "hour_value"
+    ).over(w)
+    scored = hourly.select(
+        "user_id",
+        "hour_ts",
+        "hour_value",
+        z.alias("_z"),
+        F.count("*").over(w).alias("_n"),
+        F.stddev_samp("hour_value").over(w).alias("_sigma"),
+    )
+    return (
+        scored.filter(
+            (F.col("_n") >= 6) & (F.col("_sigma") > 1e-9) & (F.abs("_z") > 2.5)
+        )
+        .select(
+            "user_id",
+            "hour_ts",
+            F.round("hour_value", 2).alias("hour_value"),
+            F.round("_z", 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               nullif(o_orderpriority, '1-URGENT') AS prio_grp
+        FROM orders),
+    d AS (
+        SELECT nullif(p, '1-URGENT') AS prio_grp, lbl FROM (VALUES
+            ('1-URGENT', 'expedite'), ('2-HIGH', 'fast'),
+            ('3-MEDIUM', 'normal'), ('4-NOT SPECIFIED', 'slow'),
+            ('5-LOW', 'batch')) AS t(p, lbl))
+    SELECT d.lbl, count(*) AS n_orders
+    FROM o JOIN d ON o.prio_grp IS NOT DISTINCT FROM d.prio_grp
+    GROUP BY d.lbl
+    """,
+    doc="NULL-SAFE equality join (eqNullSafe / IS NOT DISTINCT FROM): "
+        "null keys MATCH each other instead of silently dropping — the "
+        "semantic a plain equi-join gets wrong when a nullable derived "
+        "key ('1-URGENT' nulled out here on both sides) must still pair "
+        "up. Spark hashes null-safe keys like any other, so this stays a "
+        "broadcast/hash join, not a nested loop.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_grp"),
+    )
+    d = literal_dim(
+        spark,
+        [
+            ("1-URGENT", "expedite"),
+            ("2-HIGH", "fast"),
+            ("3-MEDIUM", "normal"),
+            ("4-NOT SPECIFIED", "slow"),
+            ("5-LOW", "batch"),
+        ],
+        "p string, lbl string",
+    ).select(F.nullif(F.col("p"), F.lit("1-URGENT")).alias("d_grp"), "lbl")
+    return (
+        o.join(F.broadcast(d), o.prio_grp.eqNullSafe(d.d_grp))
+        .groupBy("lbl")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "agg_bool_countif",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity >= 1.0)   AS all_qty_positive,
+           bool_or(l_discount > 0.09)    AS any_deep_discount,
+           CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
+           CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Boolean aggregate surface: bool_and / bool_or (the SQL every/any "
+        "— short-circuitable single-bit accumulators) and count_if — the "
+        "assertion-style aggregates quality_constraint_checks composes, "
+        "exercised directly per group.",
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") >= 1.0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
+        F.count_if(F.col("l_quantity") > 25.0).alias("n_bulk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
