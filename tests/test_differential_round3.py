@@ -1,0 +1,148 @@
+"""Brute-force differential tests for the late-round-3 operators: each
+query is recomputed by an INDEPENDENT pure-python implementation (a third
+engine besides Spark and the DuckDB oracle) over sf0.001. Tolerances are
+float-only; set/count comparisons are exact."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.catalog import table
+from job_datapipeline_spark.plans.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def _rows(spark, name, cols):
+    return [tuple(r) for r in table(spark, SF_SMOKE, name).select(*cols).collect()]
+
+
+def test_scd2_islands_match_bruteforce(spark):
+    events = _rows(spark, "events", ["user_id", "event_type", "ts", "event_id"])
+    by_user = defaultdict(list)
+    for u, et, ts, eid in events:
+        by_user[u].append((ts, eid, et))
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        island = 0
+        prev = None
+        for ts, eid, et in evs:
+            if prev is None or prev != et:
+                island += 1
+            key = (u, et, island)
+            if key not in expected:
+                expected[key] = [ts, ts, 0]
+            expected[key][0] = min(expected[key][0], ts)
+            expected[key][1] = max(expected[key][1], ts)
+            expected[key][2] += 1
+            prev = et
+    out = REGISTRY["events_scd2_islands"].fn(spark, SF_SMOKE).collect()
+    got = {
+        (r["user_id"], r["event_type"], r["island_id"]): [
+            r["valid_from"], r["last_seen"], r["n_events"]
+        ]
+        for r in out
+    }
+    assert got == expected
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    o = _rows(spark, "orders", ["o_orderkey", "o_custkey"])
+    li = _rows(spark, "lineitem", ["l_orderkey", "l_suppkey"])
+    cust_by_order = {ok: ck for ok, ck in o}
+    e0 = {(f"c{cust_by_order[lk]}", f"s{sk}") for lk, sk in li if lk in cust_by_order}
+    edges = list(e0) + [(b, a) for a, b in e0]
+    nodes = sorted({s for s, _ in edges})
+    n = float(len(nodes))
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(2):
+        inflow = defaultdict(float)
+        for s, d in edges:
+            inflow[d] += pr[s] / outdeg[s]
+        pr = {v: 0.15 / n + 0.85 * inflow[v] for v in nodes}
+    expected_top = sorted(((round(p, 8), v) for v, p in pr.items()),
+                          key=lambda t: (-t[0], t[1]))[:20]
+    out = REGISTRY["graph_pagerank_bipartite"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 20
+    for r, (ep, ev) in zip(sorted(out, key=lambda r: r["rank"]), expected_top):
+        assert r["node"] == ev
+        assert abs(r["pagerank"] - ep) < 1e-7, (r["node"], r["pagerank"], ep)
+
+
+def test_sliding_windows_match_bruteforce(spark):
+    events = _rows(spark, "events", ["ts", "value"])
+    acc = defaultdict(lambda: [0, 0.0])
+    for ts, v in events:
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        for shift_h in (0, 1):
+            import datetime
+
+            start = hour - datetime.timedelta(hours=shift_h)
+            acc[start][0] += 1
+            acc[start][1] += v
+    out = REGISTRY["events_sliding_windows"].fn(spark, SF_SMOKE).collect()
+    got = {r["w_start"]: (r["n_events"], r["sum_value"]) for r in out}
+    assert set(got) == set(acc)
+    for k, (cnt, sv) in acc.items():
+        assert got[k][0] == cnt
+        assert abs(got[k][1] - round(sv, 2)) < 1e-6
+        # every window spans exactly 2 hours
+    spans = {(r["w_end"] - r["w_start"]).total_seconds() for r in out}
+    assert spans == {7200.0}
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's F.round / DuckDB's round are HALF_UP; python's built-in
+    round is banker's (half-even) — exact .xxxx5 values diverge."""
+    import decimal
+
+    q = decimal.Decimal(10) ** -nd
+    return float(decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+
+def test_gopher_rules_match_bruteforce(spark):
+    docs = _rows(spark, "documents", ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           REGISTRY["text_gopher_rules"].fn(spark, SF_SMOKE).collect()}
+    assert len(out) == len(docs)
+    for doc_id, text in docs:
+        toks = text.strip().lower().split()
+        n = len(toks)
+        counts = defaultdict(int)
+        for t in toks:
+            counts[t] += 1
+        top = max(counts.values())
+        r = out[doc_id]
+        assert r["n_words"] == n
+        assert abs(r["mean_word_len"] - _round_half_up(sum(map(len, toks)) / n, 4)) < 1e-9
+        assert abs(r["top_token_frac"] - _round_half_up(top / n, 4)) < 1e-9
+        assert abs(r["uniq_ratio"] - _round_half_up(len(counts) / n, 4)) < 1e-9
+        keep = (40 <= n <= 500
+                and 2.5 <= _round_half_up(sum(map(len, toks)) / n, 4) <= 8.0
+                and _round_half_up(top / n, 4) <= 0.12
+                and _round_half_up(len(counts) / n, 4) >= 0.4)
+        assert r["keep"] == keep
+
+
+def test_kll_sketch_p50_close_to_true_median(spark):
+    prices = sorted(t[0] for t in _rows(spark, "lineitem", ["l_extendedprice"]))
+    true_p50 = prices[len(prices) // 2]
+    row = (
+        table(spark, SF_SMOKE, "lineitem")
+        .agg(F.kll_sketch_agg_double("l_extendedprice").alias("sk"))
+        .select(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"))
+        .first()
+    )
+    # KLL k=200: rank error ~1.65%; assert the VALUE sits within the
+    # +-3% rank band of the sorted data
+    lo = prices[max(0, int(len(prices) * 0.47))]
+    hi = prices[min(len(prices) - 1, int(len(prices) * 0.53))]
+    assert lo <= row["p50"] <= hi, (lo, row["p50"], hi, true_p50)
+    assert math.isfinite(row["p50"])
