@@ -5815,6 +5815,81 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(28, 2)))
+                AS VARCHAR) AS total_exact,
+           CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(28, 6))
+                AS VARCHAR) AS avg_exact,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR) AS max_exact
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact DECIMAL aggregation — the money path: prices cast to "
+        "DECIMAL(18,2) sum EXACTLY (integer arithmetic under the hood, "
+        "order-independent), so unlike every double aggregate in this "
+        "registry there is NO rounding normalization anywhere — the hash "
+        "gate compares raw values and they match because decimal "
+        "addition is associative. At 100 TB this is why financial "
+        "rollups use decimal despite the ~2x aggregate cost: "
+        "re-partitioning, AQE re-plans, and retry reordering can never "
+        "change a cent. Spark widens sum(DECIMAL(18,2)) to (28,2) and "
+        "avg to (22,6); both sides serialize the exact decimals as "
+        "strings (pandas would otherwise lossy-coerce DuckDB DECIMALs "
+        "to float64).",
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(dec).cast("decimal(28,2)").cast("string").alias("total_exact"),
+        F.avg(dec).cast("decimal(28,6)").cast("string").alias("avg_exact"),
+        F.max(dec).cast("string").alias("max_exact"),
+    )
+
+
+@register(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '2001-08-01 00:00:00') AS BIGINT)
+               AS days_to_horizon,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(dayofweek(o_orderdate) AS BIGINT) + 1 AS dow,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+    FROM orders
+    """,
+    doc="Date arithmetic surface: interval addition, day differences "
+        "against a horizon, last_day, quarter, day-of-week, ISO week. "
+        "Functions chosen for IDENTICAL cross-engine semantics: Spark "
+        "dayofweek is 1=Sunday while DuckDB's is 0=Sunday (oracle adds "
+        "1); both weekofyear implementations are ISO-8601; "
+        "months_between was EXCLUDED because Spark's 31-day-fraction "
+        "rule has no DuckDB equivalent — that asymmetry is the kind of "
+        "cross-engine trap this registry documents rather than papers "
+        "over.",
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    horizon = F.lit("2001-08-01 00:00:00").cast("timestamp_ntz")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(horizon, F.col("o_orderdate")).cast("bigint").alias(
+            "days_to_horizon"
+        ),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
