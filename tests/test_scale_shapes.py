@@ -271,3 +271,24 @@ def test_disjunctive_predicate_pushes_side_local_residues(spark, sf_dir):
     p_filters = p_scan.split("DataFilters")[1].split("Format:")[0]
     assert "l_quantity" in li_filters
     assert "p_brand" in p_filters and "p_size" in p_filters
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact table to a
+    FILTERED dim injects a runtime partition filter derived from the dim's
+    surviving keys — the fact scan reads only matching partitions. At
+    100 TB (date- or tenant-partitioned facts) this is the difference
+    between scanning one partition and scanning all of them, and it
+    needs zero query changes — just partitioned layout."""
+    base = str(tmp_path / "orders_by_priority")
+    o = table(spark, sf_dir, "orders")
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "expedite"), ("2-HIGH", "fast")], "p string, lbl string"
+    )
+    j = fact.join(dim.filter(F.col("lbl") == "expedite"), fact.o_orderpriority == dim.p)
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), "no runtime partition filter injected"
+    # and the result only contains the surviving partition's rows
+    assert j.select("o_orderpriority").distinct().count() == 1

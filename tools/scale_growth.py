@@ -102,12 +102,38 @@ def measure(spark, n_docs: int) -> dict:
     n_jac = pairs.count()
     t_jac = round(time.time() - t0, 2)
 
+    # cross-doc common-span detection (plans/queries dedup_common_spans
+    # shape): distinct per-doc bigram -> window doc-frequency -> per-doc
+    # shared fraction. Output rows == n_docs by construction; the cost
+    # driver is the gram stream, linear in corpus size.
+    from pyspark.sql import Window
+
+    from job_datapipeline_spark.functions.text import tokenize, word_ngrams
+
+    t0 = time.time()
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(word_ngrams(tokenize(F.col("text")), 2), F.md5))
+        ).alias("g"),
+    )
+    n_docs_w = F.count("*").over(Window.partitionBy("g"))
+    per_doc = (
+        grams.select("doc_id", (n_docs_w >= 2).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("sh"), 1).otherwise(0)).alias("n_shared"))
+    )
+    n_spans_docs = per_doc.count()
+    t_spans = round(time.time() - t0, 2)
+
     return {
         "n_docs": n_docs,
         "lsh_candidates": n_lsh,
         "lsh_sec": t_lsh,
         "jaccard_pairs": n_jac,
         "jaccard_sec": t_jac,
+        "common_spans_docs": n_spans_docs,
+        "common_spans_sec": t_spans,
     }
 
 
@@ -124,6 +150,7 @@ def main() -> None:
             "lsh_sec": round(r10["lsh_sec"] / max(r1["lsh_sec"], 0.01), 2),
             "jaccard_pairs": round(r10["jaccard_pairs"] / max(r1["jaccard_pairs"], 1), 2),
             "jaccard_sec": round(r10["jaccard_sec"] / max(r1["jaccard_sec"], 0.01), 2),
+            "common_spans_sec": round(r10["common_spans_sec"] / max(r1["common_spans_sec"], 0.01), 2),
         },
     }
     print(json.dumps(out, indent=1))
