@@ -6000,6 +6000,111 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_variant_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           'OBJECT<k: BIGINT>' AS props_shape,
+           event_type AS type_rt,
+           round(value, 2) AS value_rt,
+           CAST(user_id AS BIGINT) AS user_rt
+    FROM events
+    """,
+    doc="VARIANT type surface (Spark 4): parse_json -> open-schema "
+        "variant storage, variant_get with typed paths, "
+        "schema_of_variant introspection — the semi-structured column "
+        "answer that replaces string-JSON + per-query get_json_object "
+        "reparsing; variants store a parsed binary form so repeated "
+        "typed extraction skips the text parse. Round-trip leg: a "
+        "struct serialized with to_json, reparsed as variant, fields "
+        "extracted back typed — proving write and read sides agree.",
+)
+def scalar_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    props_v = F.parse_json("props")
+    rt_v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.round("value", 2).alias("value"),
+                F.struct(F.col("user_id").alias("u")).alias("meta"),
+            )
+        )
+    )
+    return e.select(
+        "event_id",
+        F.variant_get(props_v, "$.k", "bigint").alias("k_typed"),
+        F.schema_of_variant(props_v).alias("props_shape"),
+        F.variant_get(rt_v, "$.type", "string").alias("type_rt"),
+        F.variant_get(rt_v, "$.value", "double").alias("value_rt"),
+        F.variant_get(rt_v, "$.meta.u", "bigint").alias("user_rt"),
+    )
+
+
+_PYDS_N = 120
+
+
+def _pyds_expected_rows():
+    from ..sources.python_datasource import _LOCS, _TITLES, _row
+
+    agg: dict = {}
+    for i in range(_PYDS_N):
+        _, title, loc, salary, rating = _row(i)
+        key = (title, loc)
+        cur = agg.setdefault(key, [0, 0.0, 0.0])
+        cur[0] += 1
+        cur[1] += salary
+        cur[2] = max(cur[2], rating)
+    return sorted(
+        (t, l, n, round(s / n, 2), r) for (t, l), (n, s, r) in agg.items()
+    )
+
+
+@register(
+    "python_datasource_scan",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{t}', '{l}', CAST({n} AS BIGINT), {avg!r}, {r!r})"
+        for t, l, n, avg, r in _pyds_expected_rows()
+    )
+    + ") AS t(title, location, n_listings, avg_salary, max_rating)",
+    doc="Custom Python Data Source (Spark 4 DataSource API, "
+        "sources/python_datasource.py): the reference's imperative "
+        "page-loop scraper re-expressed as a PARTITIONED source — the "
+        "planner asks the source for partitions (listing-id ranges; a "
+        "real deployment shards page URLs), each executor reads its "
+        "range independently through the Arrow-batched Python source "
+        "path, and downstream is a normal DataFrame aggregation. "
+        "Deterministic id-derived rows make it gate-replayable; the "
+        "golden oracle recomputes the aggregate from the same generator "
+        "at registration time.",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..deploy import ensure_shipped
+    from ..sources.python_datasource import JobListingsDataSource
+
+    ensure_shipped(spark)  # workers unpickle the DataSource class by reference
+    try:
+        spark.dataSource.register(JobListingsDataSource)
+    except Exception:  # already registered in this session
+        pass
+    df = (
+        spark.read.format("job_listings")
+        .option("n", str(_PYDS_N))
+        .option("numPartitions", "4")
+        .load()
+    )
+    return (
+        df.groupBy("title", "location")
+        .agg(
+            F.count("*").alias("n_listings"),
+            F.round(F.avg("salary"), 2).alias("avg_salary"),
+            F.max("rating").alias("max_rating"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally

@@ -1,0 +1,90 @@
+"""Custom Python Data Source (Spark 4 DataSource API): a deterministic
+synthetic job-listings source.
+
+The reference's only "source" is imperative HTML scraping
+(glassdoor-scraper/src/main.py:161-192) — single process, page loop. The
+DataSource API is the Spark-native way to wrap such an external feed:
+the engine plans PARTITIONS (here: listing-id ranges; in a real scraper:
+page ranges or URL shards), executors pull their partition independently,
+and the result is a first-class DataFrame with schema, pushdown-ready
+columns, and normal lineage. This implementation generates rows
+deterministically from the listing id (no RNG, no network) so the
+correctness gate can replay it exactly; swapping `_row` for an HTTP fetch
+turns it into the distributed scraper without touching the plan.
+
+Usage:
+    spark.dataSource.register(JobListingsDataSource)
+    spark.read.format("job_listings").option("n", 30).load()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TITLES = ("data engineer", "ml engineer", "analyst", "data scientist")
+_LOCS = ("NY", "SF", "Remote")
+
+LISTINGS_SCHEMA = StructType(
+    [
+        StructField("listing_id", IntegerType()),
+        StructField("title", StringType()),
+        StructField("location", StringType()),
+        StructField("salary", DoubleType()),
+        StructField("rating", DoubleType()),
+    ]
+)
+
+
+def _row(i: int) -> tuple:
+    # Deterministic content derived from the id — stands in for the
+    # fetched/parsed listing payload.
+    return (
+        i,
+        _TITLES[i % len(_TITLES)],
+        _LOCS[i % len(_LOCS)],
+        float(60000 + (i * 7919) % 60000),
+        round(2.0 + (i % 30) / 10.0, 1),
+    )
+
+
+class _ListingsPartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+
+
+class _ListingsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 30))
+        self.num_partitions = int(options.get("numPartitions", 4))
+
+    def partitions(self):
+        step = max(1, -(-self.n // self.num_partitions))
+        return [
+            _ListingsPartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _ListingsPartition):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class JobListingsDataSource(DataSource):
+    """format name: ``job_listings``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "job_listings"
+
+    def schema(self) -> StructType:
+        return LISTINGS_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _ListingsReader(self.options)
