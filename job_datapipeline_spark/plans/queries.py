@@ -6105,6 +6105,81 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey) x
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT join "
+        "so zero-order customers keep a row, count(o_orderkey) ignores "
+        "the null padding, then an AGGREGATE OF THE AGGREGATE histograms "
+        "the counts. Two shuffles by construction (custkey, then "
+        "c_count) — the second input is one row per customer, so the "
+        "re-aggregation is cheap at any scale.",
+)
+def tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "python_udtf_regex_spans",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               regexp_extract_all(trim(lower(text)), '\\bs\\w+') AS ms
+        FROM documents WHERE trim(text) <> '')
+    SELECT doc_id,
+           CAST(generate_subscripts(ms, 1) AS BIGINT) AS match_idx,
+           unnest(ms) AS tok
+    FROM m
+    """,
+    doc="Python UDTF (Spark 4 user-defined TABLE function): a row-"
+        "fanning-out lateral — each document yields one row per "
+        "\\bs\\w+ regex match with its 1-based match index. The class "
+        "is defined inside the query so cloudpickle ships it BY VALUE "
+        "(no worker package import needed), and the temp view gets a "
+        "unique name per call (no shared-session collision). Policy "
+        "note: UDTFs are row-at-a-time Python — like the uuid5 UDF this "
+        "is a documented capability demo; the native form of this exact "
+        "computation is posexplode over regexp_extract_all "
+        "(text_first_occurrence).",
+)
+def python_udtf_regex_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="match_idx bigint, tok string")
+    class _Spans:
+        def eval(self, text):
+            import re
+
+            for i, m in enumerate(
+                re.finditer(r"\bs\w+", (text or "").strip().lower()), start=1
+            ):
+                yield i, m.group(0)
+
+    tag = _uuid.uuid4().hex[:12]
+    spark.udtf.register(f"_spans_{tag}", _Spans)
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    docs.createOrReplaceTempView(f"_docs_{tag}")
+    return spark.sql(
+        f"SELECT d.doc_id, s.match_idx, s.tok "
+        f"FROM _docs_{tag} d, LATERAL _spans_{tag}(d.text) s"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
