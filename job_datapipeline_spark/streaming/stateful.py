@@ -160,3 +160,79 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _tws_available() -> tuple[bool, str]:
+    """transformWithState's Python worker speaks a protobuf-based state
+    protocol; without the protobuf package the TWS driver worker crashes at
+    init (observed: ImportError 'google.protobuf ... descriptor'). Probe
+    once so callers fail fast with a clear message instead of a mid-stream
+    [STREAM_FAILED] crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True, ""
+    except ImportError as e:  # pragma: no cover - env-dependent
+        return False, str(e)
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (StatefulProcessor + typed state
+    handles; successor to applyInPandasWithState). Each micro-batch emits
+    the user's CUMULATIVE (n_events, total_value) so far; the final row
+    per user equals the batch groupBy — the cross-batch state-carry proof.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) and the ``protobuf`` package
+    in the Python environment; raises ImportError with the probe detail
+    when protobuf is missing (this container ships without it — the
+    operator is exercised by tests/test_streaming.py when available and
+    skip-documented otherwise, same pattern as the video codec seam).
+    """
+    ok, detail = _tws_available()
+    if not ok:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package for its "
+            f"state-server protocol; not importable here: {detail}"
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("tot", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._tot.get() if self._tot.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._tot.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )

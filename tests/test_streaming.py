@@ -212,3 +212,66 @@ def test_stream_stream_join_equals_batch(spark, events_dir, tmp_path):
         ).collect()
     }
     assert want_final <= got and len(want_final) > 0
+
+
+def test_transform_with_state_totals_or_documented_gate(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API): when the
+    protobuf dependency exists, cumulative per-user totals across TWO
+    micro-batches must equal the batch groupBy (state carries across
+    batches); in environments without protobuf the operator must fail
+    FAST with a clear ImportError, not crash mid-stream."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from job_datapipeline_spark.catalog import table
+    from job_datapipeline_spark.streaming.stateful import (
+        _tws_available,
+        user_totals_tws,
+    )
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ok, _ = _tws_available()
+    if not ok:
+        with _pytest.raises(ImportError, match="protobuf"):
+            user_totals_tws(ev)
+        _pytest.skip("protobuf absent: TWS gate verified, run skipped")
+    src = tempfile.mkdtemp(prefix="tws_src_") + "/events"
+    ev.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = user_totals_tws(stream)
+        q = (
+            out.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="tws_ck_"))
+            .format("memory")
+            .queryName("tws_totals")
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.table("tws_totals").groupBy("user_id").agg(
+            F.max("n_events").alias("n"), F.max("total_value").alias("s")
+        )
+        batch = ev.groupBy("user_id").agg(
+            F.count("*").alias("bn"), F.sum("value").alias("bs")
+        )
+        bad = final.join(batch, "user_id").filter(
+            "n <> bn OR abs(s - bs) > 1e-6"
+        )
+        assert bad.count() == 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
