@@ -6180,6 +6180,65 @@ def python_udtf_regex_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "python_datasource_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(5 AS BIGINT) AS manifest_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Custom Python Data Source WRITER under the gate "
+        "(sources/python_datasource.JsonlDirDataSource): executors write "
+        "per-task JSONL files and return commit messages; the driver's "
+        "commit() publishes a manifest (file list + row total) — the "
+        "DataSource-API form of the reference's row-loop DynamoDB put "
+        "(populator.py:47-58), with job-level atomicity the loop lacks "
+        "(abort leaves no manifest). The query writes a 5-row rollup "
+        "through the sink, reads the JSONL back with an explicit schema, "
+        "and carries the manifest row count — a hash match certifies "
+        "write, commit protocol, and read-back together.",
+)
+def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..deploy import ensure_shipped
+    from ..sources.python_datasource import JsonlDirDataSource
+
+    ensure_shipped(spark)
+    try:
+        spark.dataSource.register(JsonlDirDataSource)
+    except Exception:
+        pass
+    out = tempfile.mkdtemp(prefix="jsonl_sink_") + "/rollup"
+    rollup = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    rollup.coalesce(2).write.format("jsonl_dir").option("path", out).mode(
+        "append"
+    ).save()
+    with open(_os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest_rows = int(_json.load(fh)["total_rows"])
+    back = spark.read.schema(
+        "o_orderpriority string, n_orders bigint, total_price double"
+    ).json(out, pathGlobFilter="*.jsonl")
+    return back.select(
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        F.lit(manifest_rows).cast("bigint").alias("manifest_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally

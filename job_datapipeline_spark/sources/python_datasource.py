@@ -88,3 +88,69 @@ class JobListingsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _ListingsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Writer side: a JSONL directory sink with per-task files and a driver-side
+# commit manifest — the DataSource-API analogue of the reference's
+# row-loop DynamoDB put (data_populator/populator.py:47-58): executors
+# write their partition independently, the driver commits once, and an
+# aborted job leaves no manifest (readers treat the dir as unpublished).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(filename=name, n_rows=n)
+
+    def commit(self, messages):
+        manifest = {
+            "files": sorted(m.filename for m in messages if m is not None),
+            "total_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlDirDataSource(DataSource):
+    """format name: ``jsonl_dir`` (writer-only)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlDirWriter(self.options, overwrite)
