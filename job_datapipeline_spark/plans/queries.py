@@ -6239,6 +6239,76 @@ def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _bmp_golden_resize_rows(out_w: int = 8, out_h: int = 8):
+    """Independent pure-python replay of decode+NN-resize over the BMP
+    fixture pixel function — plain loops, no numpy, no shared code path
+    with sources/multimodal.resize_image_features."""
+    import hashlib
+
+    rows = []
+    for name, w, h in _BMP_FIXTURES:
+        lum = [
+            [
+                int(0.299 * _bmp_pixel(x, y)[2] + 0.587 * _bmp_pixel(x, y)[1]
+                    + 0.114 * _bmp_pixel(x, y)[0]) & 0xFF
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        rs = [
+            [lum[(i * h) // out_h][(j * w) // out_w] for j in range(out_w)]
+            for i in range(out_h)
+        ]
+        flat = bytes(v for row in rs for v in row)
+        rows.append(
+            (
+                name,
+                out_w,
+                out_h,
+                round(sum(flat) / len(flat), 6),
+                hashlib.md5(flat).hexdigest(),
+            )
+        )
+    return rows
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{n}', {w}, {h}, {m!r}, '{d}')" for n, w, h, m, d in _bmp_golden_resize_rows()
+    )
+    + ") AS t(file, out_w, out_h, mean_lum, resized_md5)",
+    doc="Image RESIZE stage (sources/multimodal.resize_image_features): "
+        "real BMP decode to a uint8 luminance matrix, nearest-neighbor "
+        "resample to 8x8 (floor(i*src/dst) index mapping — deterministic, "
+        "no interpolation), md5 of the resized pixel block + its mean. "
+        "Golden oracle: an independent numpy-free python replay of "
+        "decode+resize over the fixture pixel function — the md5 match "
+        "proves the codec and the resampler honored the byte layout "
+        "pixel-for-pixel, not just statistically.",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.multimodal import read_binary_dir, resize_image_features
+
+    base = tempfile.mkdtemp(prefix="bmp_resize_")
+    for name, w, h in _BMP_FIXTURES:
+        with open(os.path.join(base, name), "wb") as fh:
+            fh.write(_bmp_bytes(w, h))
+    blobs = read_binary_dir(spark, base, "*.bmp")
+    feats = resize_image_features(blobs, out_w=8, out_h=8)
+    return feats.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "out_w",
+        "out_h",
+        "mean_lum",
+        "resized_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally

@@ -361,3 +361,97 @@ def sample_video_frames(
 
     ensure_shipped(df.sparkSession)
     return df.mapInPandas(gen, VIDEO_FRAMES_SCHEMA)
+
+
+def bmp_luminance_matrix(content: bytes):
+    """Decode a BI_RGB 24-bit BMP to a (height, width) uint8 luminance
+    matrix (same deterministic uint8-truncation luminance as
+    ``bmp_image_decoder``); None when not parseable."""
+    import struct
+
+    try:
+        if len(content) < 54 or content[:2] != b"BM":
+            return None
+        pixel_offset = struct.unpack_from("<I", content, 10)[0]
+        width, height_raw = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        comp = struct.unpack_from("<I", content, 30)[0]
+        if bpp != 24 or comp != 0 or width <= 0 or height_raw == 0:
+            return None
+        top_down = height_raw < 0
+        height = abs(height_raw)
+        stride = (width * 3 + 3) // 4 * 4
+        need = pixel_offset + stride * height
+        if len(content) < need:
+            return None
+        raw = np.frombuffer(content, dtype=np.uint8, count=stride * height,
+                            offset=pixel_offset)
+        rows = raw.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        if not top_down:
+            rows = rows[::-1]
+        b = rows[..., 0].astype(np.float64)
+        g = rows[..., 1].astype(np.float64)
+        r = rows[..., 2].astype(np.float64)
+        return (0.299 * r + 0.587 * g + 0.114 * b).astype(np.uint8)
+    except (struct.error, ValueError):
+        return None
+
+
+def resize_nearest(lum, out_w: int, out_h: int):
+    """Nearest-neighbor resize of a (H, W) matrix: output pixel (i, j)
+    samples source (floor(i*H/out_h), floor(j*W/out_w)) — the standard
+    deterministic NN mapping, no interpolation, so any engine (or the
+    golden python replay) reproduces it bit-for-bit."""
+    h, w = lum.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return lum[np.ix_(ys, xs)]
+
+
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("mean_lum", DoubleType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_image_features(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    matrix_decoder: Callable = bmp_luminance_matrix,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode + RESIZE stage (the brief's resize op): binary rows ->
+    (path, out_w, out_h, mean of resized luminance, md5 of the resized
+    row-major bytes). Arrow-batched mapInPandas; undecodable blobs yield
+    null feature columns. The md5 makes the resized pixel block itself
+    hash-checkable by an independent replay."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                lum = matrix_decoder(bytes(content) if content is not None else b"")
+                if lum is None:
+                    rows.append({"path": path, "out_w": None, "out_h": None,
+                                 "mean_lum": None, "resized_md5": None})
+                    continue
+                rs = resize_nearest(lum, out_w, out_h)
+                rows.append({
+                    "path": path, "out_w": out_w, "out_h": out_h,
+                    "mean_lum": round(float(rs.sum()) / rs.size, 6),
+                    "resized_md5": hashlib.md5(rs.tobytes()).hexdigest(),
+                })
+            yield pd.DataFrame(
+                rows, columns=["path", "out_w", "out_h", "mean_lum", "resized_md5"]
+            )
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(gen, RESIZED_IMAGE_SCHEMA)
