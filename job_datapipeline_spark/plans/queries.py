@@ -6309,6 +6309,50 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / nullif(l_discount, 0.0), 4) AS price_per_disc,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN l_returnflag
+                         ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                    END AS INTEGER) AS qty_as_int,
+           CASE WHEN l_discount = 0.0 THEN NULL
+                ELSE round(l_tax / l_discount, 4) END AS tax_over_disc
+    FROM lineitem
+    """,
+    doc="Error-safe arithmetic surface (ANSI-mode safety valves): "
+        "try_divide turns division-by-zero into null instead of a task "
+        "failure — on a 100 TB run one bad row must not kill a 6-hour "
+        "job — and try_cast nulls unparseable casts ('A' as int) instead "
+        "of throwing, the column-level sibling of the CSV corrupt-record "
+        "quarantine. DuckDB replays with nullif-guarded division and "
+        "TRY_CAST. CROSS-ENGINE TRAP (found writing this query): "
+        "TRY_CAST('25.0' AS INTEGER) SUCCEEDS in DuckDB but nulls in "
+        "Spark — so the mixed cast column uses integral strings with "
+        "planted non-numeric rows, where both engines agree.",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias(
+            "price_per_disc"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.col("l_returnflag"))
+        .otherwise(F.col("l_quantity").cast("bigint").cast("string"))
+        .try_cast("int")
+        .alias("qty_as_int"),
+        F.when(
+            F.col("l_discount") != 0.0,
+            F.round(F.col("l_tax") / F.col("l_discount"), 4),
+        ).alias("tax_over_disc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
