@@ -6314,7 +6314,6 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice / nullif(l_discount, 0.0), 4) AS price_per_disc,
-           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
            TRY_CAST(CASE WHEN l_linenumber % 3 = 0 THEN l_returnflag
                          ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
                     END AS INTEGER) AS qty_as_int,
@@ -6328,10 +6327,14 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "job — and try_cast nulls unparseable casts ('A' as int) instead "
         "of throwing, the column-level sibling of the CSV corrupt-record "
         "quarantine. DuckDB replays with nullif-guarded division and "
-        "TRY_CAST. CROSS-ENGINE TRAP (found writing this query): "
-        "TRY_CAST('25.0' AS INTEGER) SUCCEEDS in DuckDB but nulls in "
-        "Spark — so the mixed cast column uses integral strings with "
-        "planted non-numeric rows, where both engines agree.",
+        "TRY_CAST. Two traps found writing this query: (1) cross-engine "
+        "— TRY_CAST('25.0' AS INTEGER) SUCCEEDS in DuckDB but nulls in "
+        "Spark, so the cast column uses integral strings with planted "
+        "non-numeric rows, where both agree; (2) cost — each try_cast "
+        "FAILURE pays JVM exception construction, so an always-failing "
+        "cast ran ~7x slower than the same scan with occasional "
+        "failures (measured 5.5 s vs 0.8 s at sf0.1): try_* is for "
+        "rare bad rows, not for type probing of whole columns.",
 )
 def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -6341,7 +6344,6 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias(
             "price_per_disc"
         ),
-        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         F.when(F.col("l_linenumber") % 3 == 0, F.col("l_returnflag"))
         .otherwise(F.col("l_quantity").cast("bigint").cast("string"))
         .try_cast("int")
