@@ -6355,6 +6355,96 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "observe_audit_metrics",
+    oracle="""
+    WITH audit AS (
+        SELECT count(*) AS n_rows,
+               CAST(count_if(o_totalprice <= 0) AS BIGINT) AS n_bad_price,
+               CAST(count_if(o_custkey IS NULL) AS BIGINT) AS n_null_cust
+        FROM orders)
+    SELECT o.o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price,
+           a.n_rows, a.n_bad_price, a.n_null_cust
+    FROM orders o, audit a
+    GROUP BY o.o_orderstatus, a.n_rows, a.n_bad_price, a.n_null_cust
+    """,
+    doc="In-flight audit metrics (df.observe + Observation): data-quality "
+        "counters ride the SAME scan as the business rollup — at 100 TB "
+        "the alternative is a second full pass just to know how many "
+        "rows were suspect. The observed scalars are a side-channel "
+        "(accumulator-backed, no extra action beyond the one the query "
+        "runs), stitched onto the rollup as audit columns; the oracle "
+        "recomputes both from the table.",
+)
+def observe_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation()
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_bad_price"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_cust"),
+    )
+    rollup = observed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    # one action populates the observation; the rollup result is tiny
+    # (one row per status) so the localCheckpoint is a metadata-scale cost
+    rollup = rollup.localCheckpoint()
+    m = obs.get
+    audit = literal_dim(
+        spark,
+        [(int(m["n_rows"]), int(m["n_bad_price"]), int(m["n_null_cust"]))],
+        "n_rows bigint, n_bad_price bigint, n_null_cust bigint",
+    )
+    return rollup.crossJoin(F.broadcast(audit))
+
+
+@register(
+    "scalar_collation_group",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                    ELSE lower(o_orderpriority) END AS s
+        FROM orders)
+    SELECT lower(s) AS group_lc,
+           count(*) AS n,
+           min(s) AS variant_min
+    FROM mixed
+    GROUP BY lower(s)
+    """,
+    doc="Collation-aware comparison (Spark 4 collations): grouping under "
+        "UTF8_LCASE merges case variants at the COMPARATOR level — no "
+        "lower() rewrite of the data, and the same collation drives "
+        "joins and sorts once declared. Output is normalized via "
+        "lower() because the collated group's representative value is "
+        "first-seen (partitioning-dependent); min(s) pins a "
+        "deterministic variant. Oracle emulates with lower() grouping — "
+        "exactly the rewrite collations make unnecessary.",
+)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        ).otherwise(F.lower("o_orderpriority")).alias("s")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("cs"))
+        .agg(F.count("*").alias("n"), F.min("s").alias("variant_min"))
+        .select(
+            F.lower(F.col("cs")).cast("string").alias("group_lc"),
+            "n",
+            "variant_min",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
