@@ -6445,6 +6445,132 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Stream-STATIC join (streaming/pipelines.enrich_with_static_dim): "
+        "each micro-batch joins the event stream against a batch "
+        "dimension — re-planned per batch (a refreshed dim is picked up "
+        "live), broadcast so the per-batch join is shuffle-free, and "
+        "stateless on the dim side (vs the stream-stream join's "
+        "watermark-bounded buffers). The AvailableNow run's complete-"
+        "mode rollup must equal the batch join — the third join flavor "
+        "in the streaming surface next to stream-stream and stateful.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import (
+        available_now_to_memory,
+        enrich_with_static_dim,
+        read_events_stream,
+    )
+
+    src = _stream_events_src(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    name = "static_enrich_" + uuid.uuid4().hex[:8]
+    with _stream_state_partitions(spark):
+        enriched = enrich_with_static_dim(
+            read_events_stream(spark, src), dim
+        )
+        rollup = enriched.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        available_now_to_memory(
+            rollup,
+            name,
+            tempfile.mkdtemp(prefix="static_enrich_") + "/ckpt",
+            output_mode="complete",
+        )
+    return spark.table(name)
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT date_trunc('day', ts) AS event_day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    doc="foreachBatch + DYNAMIC PARTITION OVERWRITE — the MERGE-less "
+        "serving-table upsert for plain parquet (streaming/pipelines."
+        "foreachbatch_partition_upsert): each micro-batch overwrites "
+        "exactly the day partitions it carries, so batch re-delivery "
+        "converges instead of duplicating. The source is split on a "
+        "day boundary so each batch owns WHOLE partitions (the "
+        "pattern's correctness precondition, called out in the helper "
+        "doc; day granularity because hour partitions at this corpus "
+        "size mean 531 near-empty directories — the small-files "
+        "anti-pattern), and the query then REPLAYS the stream under a "
+        "fresh checkpoint against the same target — the hash gate "
+        "certifies the converged state equals one clean batch rollup, "
+        "i.e. replay is harmless.",
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.pipelines import foreachbatch_partition_upsert
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    # split the source on an hour edge so each file carries whole hours
+    cutoff = ev.agg(
+        F.date_trunc(
+            "day", F.expr("approx_percentile(ts, 0.5)")
+        ).alias("c")
+    ).first()["c"]
+    src = tempfile.mkdtemp(prefix="febatch_src_") + "/events"
+    ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    target = tempfile.mkdtemp(prefix="febatch_tgt_") + "/hourly"
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with_day = stream.withColumn("event_day", F.date_trunc("day", "ts"))
+        foreachbatch_partition_upsert(
+            with_day,
+            target,
+            tempfile.mkdtemp(prefix="febatch_ck_") + "/ckpt",
+            partition_col="event_day",
+        )
+
+    with _stream_state_partitions(spark):
+        run_stream()
+        run_stream()  # full replay, fresh checkpoint: must converge, not duplicate
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("event_day").cast("timestamp_ntz").alias("event_day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally

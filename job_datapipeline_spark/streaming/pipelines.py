@@ -187,3 +187,60 @@ def available_now_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def enrich_with_static_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-STATIC join: each micro-batch joins against a batch dim
+    (re-planned per batch, so a refreshed dim table is picked up without
+    restarting the stream). The static side carries no watermark and no
+    state — this is the bounded-memory enrichment path for dimension
+    lookups, vs the stateful stream-stream join which buffers both sides.
+    Broadcast hint keeps the per-batch join shuffle-free when the dim is
+    dimension-sized."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), events[on_left] == dim[on_right])
+
+
+def foreachbatch_partition_upsert(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint: str,
+    partition_col: str = "event_hour",
+) -> None:
+    """The production serving-table maintenance pattern: foreachBatch +
+    dynamic partition overwrite. Each micro-batch recomputes the rollups
+    for ONLY the partitions it touches and overwrites exactly those
+    directories (spark.sql.sources.partitionOverwriteMode=dynamic), so a
+    replayed batch (failure/retry) converges to the same state —
+    idempotent at the partition level, the MERGE-less upsert for plain
+    parquet. The checkpoint gives each batch an id; Spark guarantees
+    foreachBatch sees every batch at least once, and the overwrite makes
+    re-delivery harmless."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert)
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination()
