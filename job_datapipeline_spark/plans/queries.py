@@ -4479,6 +4479,57 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_stat_columns() -> dict:
+    """The Gopher-rule statistic expressions over a ``text`` column — the
+    sorted-array fold for the top-token run, char-sum fold, sizes. Shared
+    by text_gopher_rules and the corpus_funnel_report quality stage so the
+    two can never drift."""
+    toks = F.sort_array(tokenize(F.col("text")))
+    run_state = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    char_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x),
+    )
+    return {
+        "n_words": F.size(toks).cast("bigint"),
+        "top_n": run_state,
+        "n_uniq": F.size(F.array_distinct(toks)).cast("bigint"),
+        "char_sum": char_sum,
+    }
+
+
+def _gopher_keep() -> F.Column:
+    """The combined keep predicate over the rounded ratio columns produced
+    from :func:`_gopher_stat_columns` output."""
+    mean_len = F.round(F.col("char_sum") / F.col("n_words"), 4)
+    top_frac = F.round(F.col("top_n") / F.col("n_words"), 4)
+    uniq = F.round(F.col("n_uniq") / F.col("n_words"), 4)
+    return (
+        F.col("n_words").between(40, 500)
+        & mean_len.between(2.5, 8.0)
+        & (top_frac <= 0.12)
+        & (uniq >= 0.4)
+    )
+
+
+
 @register(
     "text_gopher_rules",
     oracle="""
@@ -4515,35 +4566,13 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = F.sort_array(tokenize(F.col("text")))
-    run_state = F.aggregate(
-        toks,
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("bigint").alias("run"),
-            F.lit(0).cast("bigint").alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("bigint")),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
-    char_sum = F.aggregate(
-        toks,
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + F.length(x),
-    )
+    stats = _gopher_stat_columns()
     base = docs.select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_words"),
-        run_state.alias("top_n"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
-        char_sum.alias("char_sum"),
+        stats["n_words"].alias("n_words"),
+        stats["top_n"].alias("top_n"),
+        stats["n_uniq"].alias("n_uniq"),
+        stats["char_sum"].alias("char_sum"),
     )
     mean_len = F.round(F.col("char_sum") / F.col("n_words"), 4)
     top_frac = F.round(F.col("top_n") / F.col("n_words"), 4)
@@ -4554,12 +4583,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_len.alias("mean_word_len"),
         top_frac.alias("top_token_frac"),
         uniq.alias("uniq_ratio"),
-        (
-            F.col("n_words").between(40, 500)
-            & mean_len.between(2.5, 8.0)
-            & (top_frac <= 0.12)
-            & (uniq >= 0.4)
-        ).alias("keep"),
+        _gopher_keep().alias("keep"),
     )
 
 
@@ -6606,6 +6630,153 @@ def tpch_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+_FUNNEL_SAMPLE_P = 0.5
+_FUNNEL_SALT = "funnel1"
+
+
+# registered explicitly below — the oracle SQL needs this function's
+# sibling constants interpolated, so the Query is constructed after it
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import ngram_overlap_flags as _overlap
+    from ..operators.sampling import deterministic_sample as _dsample
+
+    all_docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = all_docs.filter(F.trim(F.col("text")) != "")
+    stats = _gopher_stat_columns()
+    q = (
+        base.select(
+            "doc_id",
+            "text",
+            stats["n_words"].alias("n_words"),
+            stats["top_n"].alias("top_n"),
+            stats["n_uniq"].alias("n_uniq"),
+            stats["char_sum"].alias("char_sum"),
+        )
+        .filter(_gopher_keep())
+        .select("doc_id", "text")
+    )
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    # stage boundaries are checkpointed: each later count builds on the
+    # materialized survivor set, not a re-derivation of the whole chain —
+    # at 100 TB these are persisted tables between pipeline stages
+    ded = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    bench = _dsample(all_docs, "doc_id", _BENCH_FRACTION, salt=_BENCH_SALT)
+    flagged = _overlap(ded, bench, n=_DECON_N).select("doc_id")
+    clean = (
+        ded.join(bench.select("doc_id"), "doc_id", "left_anti")
+        .join(flagged, "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    sampled = _dsample(clean, "doc_id", _FUNNEL_SAMPLE_P, salt=_FUNNEL_SALT)
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+
+    out = stage(1, "total", base)
+    for s in (
+        stage(2, "quality", q),
+        stage(3, "exact_dedup", ded),
+        stage(4, "decontaminated", clean),
+        stage(5, "sampled", sampled),
+    ):
+        out = out.unionByName(s)
+    return out
+
+
+REGISTRY["corpus_funnel_report"] = Query(
+    name="corpus_funnel_report",
+    fn=corpus_funnel_report,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+    t AS (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM base),
+    c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok),
+    s AS (SELECT doc_id,
+                 CAST(sum(n) AS BIGINT) AS nw,
+                 CAST(max(n) AS BIGINT) AS tn,
+                 CAST(count(*) AS BIGINT) AS nu,
+                 CAST(sum(n * length(tok)) AS BIGINT) AS cs
+          FROM c GROUP BY doc_id),
+    q AS (
+        SELECT b.doc_id, b.text FROM base b JOIN s USING (doc_id)
+        WHERE s.nw BETWEEN 40 AND 500
+          AND round(s.cs / s.nw, 4) BETWEEN 2.5 AND 8.0
+          AND round(s.tn / s.nw, 4) <= 0.12
+          AND round(s.nu / s.nw, 4) >= 0.4),
+    ded AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (
+                       PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                       '\\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rn
+            FROM q) x
+        WHERE rn = 1),
+    bench AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5('{_BENCH_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < '{{bench_thr}}'),
+    dg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {_DECON_N}
+                               THEN [array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                                     FOR i IN range(1, len(t) - {_DECON_N - 2})]
+                               ELSE [] END) AS gram
+            FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM ded) x) u),
+    bg AS (
+        SELECT DISTINCT doc_id AS bench_id, gram FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= {_DECON_N}
+                               THEN [array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                                     FOR i IN range(1, len(t) - {_DECON_N - 2})]
+                               ELSE [] END) AS gram
+            FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                  FROM bench) x) u),
+    flagged AS (
+        SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)
+        WHERE dg.doc_id <> bg.bench_id),
+    clean AS (
+        SELECT d.doc_id FROM ded d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
+          AND d.doc_id NOT IN (SELECT doc_id FROM flagged)),
+    sampled AS (
+        SELECT doc_id FROM clean
+        WHERE substring(md5('{_FUNNEL_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < '{{sample_thr}}')
+    SELECT 1 AS stage_idx, 'total' AS stage,
+           (SELECT count(*) FROM base) AS n_docs
+    UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM q)
+    UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM ded)
+    UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM clean)
+    UNION ALL SELECT 5, 'sampled', (SELECT count(*) FROM sampled)
+    """.replace("{bench_thr}", _SMP.sample_threshold_hex(_BENCH_FRACTION))
+       .replace("{sample_thr}", _SMP.sample_threshold_hex(_FUNNEL_SAMPLE_P)),
+    doc="THE COMPOSED PIPELINE SHOWPIECE — a full training-data curation "
+        "funnel with per-stage observability, the report a data-pipeline "
+        "dashboard shows: total -> Gopher quality rules (shared "
+        "expressions with text_gopher_rules, so the stages can't drift) "
+        "-> exact dedup (keep-min-id per fingerprint) -> benchmark "
+        "decontamination (8-gram overlap + eval-member removal) -> "
+        "deterministic 50% sample. Every stage is expression-level and "
+        "md5-replayable, so the oracle reproduces each count exactly. "
+        "Stage boundaries localCheckpoint — the test-scale form of "
+        "persisting intermediate tables between 100 TB pipeline stages.",
+)
 
 
 # ---------------------------------------------------------------------------
