@@ -146,3 +146,89 @@ def test_kll_sketch_p50_close_to_true_median(spark):
     hi = prices[min(len(prices) - 1, int(len(prices) * 0.53))]
     assert lo <= row["p50"] <= hi, (lo, row["p50"], hi, true_p50)
     assert math.isfinite(row["p50"])
+
+
+def test_funnel_report_matches_bruteforce(spark):
+    """The composed curation funnel replayed by an independent pure-python
+    implementation: Gopher keep, fingerprint dedup, benchmark carve-out +
+    8-gram overlap decontamination, md5 sampling — every stage count must
+    match exactly."""
+    import hashlib
+
+    from job_datapipeline_spark.plans.queries import (
+        _BENCH_FRACTION,
+        _BENCH_SALT,
+        _DECON_N,
+        _FUNNEL_SALT,
+        _FUNNEL_SAMPLE_P,
+    )
+    from job_datapipeline_spark.operators.sampling import sample_threshold_hex
+
+    docs = _rows(spark, "documents", ["doc_id", "text"])
+
+    def md5hex(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def sampled_ids(ids, salt, frac):
+        thr = sample_threshold_hex(frac)
+        return {i for i in ids if md5hex(f"{salt}:{i}")[:4] < thr}
+
+    base = [(i, t) for i, t in docs if t.strip()]
+    # stage 2: gopher keep
+    q = []
+    for i, t in base:
+        toks = t.strip().lower().split()
+        n = len(toks)
+        counts = {}
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+        keep = (
+            40 <= n <= 500
+            and 2.5 <= _round_half_up(sum(map(len, toks)) / n, 4) <= 8.0
+            and _round_half_up(max(counts.values()) / n, 4) <= 0.12
+            and _round_half_up(len(counts) / n, 4) >= 0.4
+        )
+        if keep:
+            q.append((i, t))
+    # stage 3: keep min doc_id per normalized fingerprint
+    best = {}
+    for i, t in q:
+        fp = md5hex(" ".join(t.strip().lower().split()))
+        if fp not in best or i < best[fp][0]:
+            best[fp] = (i, t)
+    ded = sorted(best.values())
+    # stage 4: benchmark members out; 8-gram overlap with other bench docs out
+    bench_ids = sampled_ids([i for i, _ in docs], _BENCH_SALT, _BENCH_FRACTION)
+    bench_grams = {}
+    by_id = dict(docs)
+    for b in bench_ids:
+        toks = by_id[b].strip().lower().split()
+        for k in range(len(toks) - _DECON_N + 1):
+            bench_grams.setdefault(" ".join(toks[k:k + _DECON_N]), set()).add(b)
+    clean = []
+    for i, t in ded:
+        if i in bench_ids:
+            continue
+        toks = t.strip().lower().split()
+        hit = False
+        for k in range(len(toks) - _DECON_N + 1):
+            owners = bench_grams.get(" ".join(toks[k:k + _DECON_N]))
+            if owners and owners - {i}:
+                hit = True
+                break
+        if not hit:
+            clean.append(i)
+    # stage 5: deterministic sample
+    sampled = sampled_ids(clean, _FUNNEL_SALT, _FUNNEL_SAMPLE_P)
+
+    out = {
+        r["stage"]: r["n_docs"]
+        for r in REGISTRY["corpus_funnel_report"].fn(spark, SF_SMOKE).collect()
+    }
+    assert out == {
+        "total": len(base),
+        "quality": len(q),
+        "exact_dedup": len(ded),
+        "decontaminated": len(clean),
+        "sampled": len(sampled),
+    }
