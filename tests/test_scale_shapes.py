@@ -292,3 +292,44 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), "no runtime partition filter injected"
     # and the result only contains the surviving partition's rows
     assert j.select("o_orderpriority").distinct().count() == 1
+
+
+def test_analyze_table_column_stats_feed_cbo(spark, sf_dir):
+    """Catalog statistics: ANALYZE TABLE ... FOR COLUMNS records
+    min/max/NDV that the cost-based optimizer uses for join sizing and
+    reordering — at 100 TB, stats-driven planning replaces hand-placed
+    hints. Verifies stats land in the catalog and the stats'd dim still
+    broadcasts in a join."""
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        c = table(spark, sf_dir, "customer")
+        c.write.mode("overwrite").saveAsTable("cbo_cust_t")
+        spark.sql(
+            "ANALYZE TABLE cbo_cust_t COMPUTE STATISTICS FOR COLUMNS c_custkey"
+        )
+        desc = {r[0]: r[1] for r in
+                spark.sql("DESCRIBE EXTENDED cbo_cust_t c_custkey").collect()}
+        assert int(desc["distinct_count"]) > 0
+        assert desc["min"] is not None and desc["max"] is not None
+        o = table(spark, sf_dir, "orders")
+        j = o.join(spark.table("cbo_cust_t"),
+                   o.o_custkey == F.col("c_custkey"))
+        assert "BroadcastHashJoin" in _plan(j)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS cbo_cust_t")
+
+
+def test_cached_dim_reused_from_memory(spark, sf_dir):
+    """df.persist: a cached dimension's consumers read InMemoryTableScan
+    (Tungsten columnar cache), not the parquet source — the reuse lever
+    for a dim feeding many queries in one application."""
+    d = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = d.cache()
+    try:
+        d.count()  # materialize
+        plan = _plan(d.groupBy("c_mktsegment").count())
+        assert "InMemoryTableScan" in plan
+        assert "FileScan parquet" not in plan.split("InMemoryTableScan")[1][:200]
+    finally:
+        d.unpersist()
