@@ -6787,6 +6787,91 @@ REGISTRY["corpus_funnel_report"] = Query(
 )
 
 
+_CONTAIN_EXCERPT_TOKENS = 20
+_CONTAIN_MIN_TOKENS = 40
+_CONTAIN_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+    corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 40000 AS doc_id,
+               array_to_string(
+                   (string_split_regex(trim(lower(text)), '\\s+'))
+                       [1:{_CONTAIN_EXCERPT_TOKENS}], ' ') AS text
+        FROM base
+        WHERE len(string_split_regex(trim(lower(text)), '\\s+'))
+              >= {_CONTAIN_MIN_TOKENS}),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(t[i:i+2], ' ')) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM corpus) x,
+             unnest(range(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.shared AS DOUBLE) / sa.n_sh, 4) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    WHERE CAST(i.shared AS DOUBLE) / sa.n_sh >= {_CONTAIN_THRESHOLD}
+    """,
+    doc="CONTAINMENT dedup (Broder's asymmetric resemblance): "
+        "|S(A) inter S(B)| / |S(A)| >= 0.9 flags documents whose shingle "
+        "set is essentially a SUBSET of another's — the excerpt/quote/"
+        "chunk-duplicate case symmetric Jaccard misses (a 20-token "
+        "excerpt of a 60-token doc has Jaccard ~0.3 but containment "
+        "1.0). Corpus plants excerpts (first {n} tokens of long docs) to "
+        "make the flagged set verifiable. Scale shape: the pair stream "
+        "is the shared-shingle join — O(collisions), bucketable by LSH "
+        "exactly like jaccard_pairs' prefix filter at larger scales; "
+        "containment scores are exact small-integer divisions, so the "
+        "0.9 threshold has no float-boundary risk.".format(
+            n=_CONTAIN_EXCERPT_TOKENS
+        ),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_ngrams as _wng
+
+    base = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = tokenize(F.col("text"))
+    excerpts = base.filter(F.size(toks) >= _CONTAIN_MIN_TOKENS).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, _CONTAIN_EXCERPT_TOKENS), " ").alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(excerpts)
+    sh = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(_wng(tokenize(F.col("text")), 3), F.md5))
+        ).alias("g"),
+    ).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "g")
+    b = sh.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.col("n_sh")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .filter(cont >= _CONTAIN_THRESHOLD)
+        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
