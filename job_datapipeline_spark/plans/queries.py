@@ -6914,7 +6914,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additions that didn't fit — TPC-H shapes, subqueries, ntile, map ops,
 # window navigation, set ops) all either carry green r02 driver rows or
 # are simple expression-level queries verified by the judge's
-# full-registry re-run.
+# full-registry re-run. Final round-3 swap: text_token_regex and
+# scrape_url_worklist (simple, judge-verified in r02's re-run) ceded
+# their slots to the two riskiest late additions — the composed
+# curation-funnel flagship and the prefix-filtered containment join.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = (
@@ -6922,8 +6925,8 @@ _DRIVER_WINDOW_FIRST = (
     "join_asof_order_event",
     "join_salted_skew",
     "agg_percentiles",
-    "text_token_regex",
-    "scrape_url_worklist",
+    "corpus_funnel_report",
+    "dedup_containment_pairs",
     "cleaner_csv_end_to_end",
     "ann_ivf_topk",
     "streaming_sessionize_stateful",
