@@ -6998,6 +6998,85 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_robust_mad",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS med_price
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT li.l_returnflag,
+           round(any_value(med.med_price), 4) AS median_price,
+           round(quantile_cont(abs(li.l_extendedprice - med.med_price), 0.5), 4)
+               AS mad_price
+    FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag
+    GROUP BY li.l_returnflag
+    """,
+    doc="Robust statistics: median absolute deviation — a TWO-PASS "
+        "dependent aggregation (median, broadcast back, median of "
+        "absolute deviations) that no single aggregate expresses; the "
+        "outlier-resistant spread measure quality monitors prefer over "
+        "stddev. Exact percentile on the verification side shares "
+        "agg_percentiles' small-group-only caveat; the scale path swaps "
+        "both passes to approx_percentile unchanged.",
+)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med_price"), 4).alias("median_price"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med_price")), F.lit(0.5)
+                ),
+                4,
+            ).alias("mad_price"),
+        )
+    )
+
+
+@register(
+    "events_windowed_topk",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type),
+    ranked AS (
+        SELECT hour_ts, event_type, CAST(n AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY hour_ts
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM hourly)
+    SELECT hour_ts, event_type, n, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 2
+    """,
+    doc="Windowed top-k: the two busiest event types per hour — the "
+        "trending/leaderboard reporting shape: time-bucketed aggregate, "
+        "then rank WITHIN each bucket (deterministic ties by type). The "
+        "rank window partitions by hour over the already-aggregated "
+        "frame (|hours| x |types| rows), so the expensive stage is the "
+        "one hash aggregate; the streaming twin is the same plan over "
+        "F.window with the rank applied in foreachBatch.",
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("hour_ts").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .select("hour_ts", "event_type", "n", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally

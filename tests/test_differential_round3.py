@@ -232,3 +232,46 @@ def test_funnel_report_matches_bruteforce(spark):
         "decontaminated": len(clean),
         "sampled": len(sampled),
     }
+
+
+def test_containment_pairs_match_bruteforce(spark):
+    """The prefix-filtered containment join must emit EXACTLY the pairs a
+    brute-force all-pairs python scan finds — guards the losslessness of
+    the prefix and container-size filters (a too-short prefix or an
+    off-by-one in ceil would silently drop qualifying pairs)."""
+    from job_datapipeline_spark.plans.queries import (
+        _CONTAIN_EXCERPT_TOKENS,
+        _CONTAIN_MIN_TOKENS,
+        _CONTAIN_THRESHOLD,
+        REGISTRY as _R,
+    )
+
+    docs = _rows(spark, "documents", ["doc_id", "text"])
+    corpus = {}
+    for i, t in docs:
+        if not t.strip():
+            continue
+        toks = t.strip().lower().split()
+        corpus[i] = toks
+        if len(toks) >= _CONTAIN_MIN_TOKENS:
+            corpus[i + 40000] = toks[:_CONTAIN_EXCERPT_TOKENS]
+    shingles = {
+        i: {" ".join(tk[k:k + 3]) for k in range(len(tk) - 2)}
+        for i, tk in corpus.items()
+        if len(tk) >= 3
+    }
+    expected = {}
+    ids = sorted(shingles)
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            inter = len(shingles[a] & shingles[b])
+            cont = inter / len(shingles[a])
+            if cont >= _CONTAIN_THRESHOLD:
+                expected[(a, b)] = _round_half_up(cont, 4)
+    out = _R["dedup_containment_pairs"].fn(spark, SF_SMOKE).collect()
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
