@@ -126,6 +126,36 @@ def measure(spark, n_docs: int) -> dict:
     n_spans_docs = per_doc.count()
     t_spans = round(time.time() - t0, 2)
 
+    # prefix-filtered containment join (plans/queries.dedup_containment_pairs
+    # shape): planted excerpts (first half of each near-dup doc's tokens)
+    # must be found as contained; cost must track collisions, not n^2.
+    from job_datapipeline_spark.operators.dedup import _PREFILTER_EPS, _shingle_arrays
+
+    t0 = time.time()
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    exc = docs.filter(F.size(toks) >= 30).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 15), " ").alias("text"),
+    ).filter(F.col("doc_id") % 20 == 3)  # 5% excerpt rate
+    corpus2 = docs.select("doc_id", "text").unionByName(exc)
+    te = 0.9 - _PREFILTER_EPS
+    arrays = _shingle_arrays(corpus2, "text", "doc_id", 3).withColumn(
+        "_plen", F.col("n_sh") - F.ceil(F.lit(te) * F.col("n_sh")).cast("int") + 1
+    ).localCheckpoint()
+    pre = arrays.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"),
+                        F.explode(F.slice("shs", 1, F.col("_plen"))).alias("sh_h"))
+    fullsh = arrays.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"),
+                           F.explode("shs").alias("sh_h"))
+    candc = (pre.join(fullsh, "sh_h")
+             .filter((F.col("id_a") != F.col("id_b")) & (F.col("n_b") >= te * F.col("n_a")))
+             .select("id_a", "id_b").distinct())
+    av = arrays.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("_sa"), F.col("n_sh").alias("na2"))
+    bv = arrays.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("_sb"))
+    contained = (candc.join(av, "id_a").join(bv, "id_b")
+                 .filter(F.size(F.array_intersect("_sa", "_sb")).cast("double") / F.col("na2") >= 0.9))
+    n_contained = contained.count()
+    t_contain = round(time.time() - t0, 2)
+
     return {
         "n_docs": n_docs,
         "lsh_candidates": n_lsh,
@@ -134,6 +164,8 @@ def measure(spark, n_docs: int) -> dict:
         "jaccard_sec": t_jac,
         "common_spans_docs": n_spans_docs,
         "common_spans_sec": t_spans,
+        "containment_pairs": n_contained,
+        "containment_sec": t_contain,
     }
 
 
@@ -151,6 +183,8 @@ def main() -> None:
             "jaccard_pairs": round(r10["jaccard_pairs"] / max(r1["jaccard_pairs"], 1), 2),
             "jaccard_sec": round(r10["jaccard_sec"] / max(r1["jaccard_sec"], 0.01), 2),
             "common_spans_sec": round(r10["common_spans_sec"] / max(r1["common_spans_sec"], 0.01), 2),
+            "containment_pairs": round(r10["containment_pairs"] / max(r1["containment_pairs"], 1), 2),
+            "containment_sec": round(r10["containment_sec"] / max(r1["containment_sec"], 0.01), 2),
         },
     }
     print(json.dumps(out, indent=1))
