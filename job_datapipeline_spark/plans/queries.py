@@ -7077,6 +7077,48 @@ def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_bitmap,
+           count(DISTINCT l_partkey) AS n_exact,
+           true AS bitmap_is_exact
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="EXACT distinct counting via bitmap indexes (Spark 4 bitmap_* "
+        "aggregates): integer keys map to (bucket, bit) — "
+        "bitmap_bucket_number / bitmap_bit_position — per-(group, "
+        "bucket) bitmaps OR-merge like sketches but with NO "
+        "approximation, 4 KB per 32768-key bucket. The middle ground "
+        "between exact count_distinct (shuffles every distinct value) "
+        "and HLL (approximate): dense-integer domains shuffle fixed-size "
+        "bitmaps instead of values. PITFALL pinned here: skipping the "
+        "bucket grouping silently aliases values ((v-1) mod 32768 "
+        "collisions) — the first probe lost 1 of 997 values. The "
+        "verdict column asserts bitmap == exact EQUALITY, not a "
+        "tolerance.",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("_bk")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("_bm"))
+    bitmap = per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("_bm")).cast("bigint").alias("n_bitmap")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact")
+    )
+    return bitmap.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_bitmap",
+        "n_exact",
+        (F.col("n_bitmap") == F.col("n_exact")).alias("bitmap_is_exact"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally

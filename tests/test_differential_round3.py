@@ -275,3 +275,20 @@ def test_containment_pairs_match_bruteforce(spark):
     assert set(got) == set(expected)
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+
+
+def test_robust_mad_matches_numpy(spark):
+    """agg_robust_mad replayed by numpy's interpolated median."""
+    import numpy as np
+
+    vals = {}
+    for flag, price in _rows(spark, "lineitem", ["l_returnflag", "l_extendedprice"]):
+        vals.setdefault(flag, []).append(price)
+    out = {r["l_returnflag"]: r for r in
+           REGISTRY["agg_robust_mad"].fn(spark, SF_SMOKE).collect()}
+    assert set(out) == set(vals)
+    for flag, xs in vals.items():
+        med = float(np.percentile(xs, 50, method="linear"))
+        mad = float(np.percentile(np.abs(np.array(xs) - med), 50, method="linear"))
+        assert abs(out[flag]["median_price"] - _round_half_up(med, 4)) < 1e-6
+        assert abs(out[flag]["mad_price"] - _round_half_up(mad, 4)) < 1e-6
