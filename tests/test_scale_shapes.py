@@ -333,3 +333,54 @@ def test_cached_dim_reused_from_memory(spark, sf_dir):
         assert "FileScan parquet" not in plan.split("InMemoryTableScan")[1][:200]
     finally:
         d.unpersist()
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Multi-dimensional data layout: bit-interleaved Z-VALUES (computed
+    with plain shift/mask expressions — no engine extension needed) give
+    row-group stats that prune on EITHER dimension, where a single-column
+    sort prunes on one and leaves the other unfiltered. The reason
+    lakehouse tables Z-order their two or three hottest filter columns at
+    100 TB. Synthetic 1M-point 1024x1024 grid; predicate on the
+    NON-sorted dimension must skip most of the z-ordered files and none
+    of the x-sorted ones."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    n_bits, n_files = 10, 64
+    df = spark.range(1 << 20).select(
+        (F.col("id") % 1024).cast("int").alias("x"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1 << 20)) % 1024)
+        .cast("int")
+        .alias("y"),
+    )
+    z = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        z = z + (
+            F.shiftleft(F.shiftright("x", i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright("y", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).cast("bigint")
+    zdf = df.withColumn("z", z)
+    (zdf.repartitionByRange(n_files, "z").sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(str(tmp_path / "zorder")))
+    (df.repartitionByRange(n_files, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(str(tmp_path / "xsort")))
+
+    def surviving(path: str, col: str, lo: int, hi: int) -> float:
+        spans = []
+        for f in g.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                spans.append((st.min, st.max))
+        hit = sum(1 for mn, mx in spans if not (mx < lo or mn > hi))
+        return hit / len(spans)
+
+    # y-window: z-order prunes it, x-sort cannot
+    assert surviving(str(tmp_path / "zorder"), "y", 100, 150) <= 0.30
+    assert surviving(str(tmp_path / "xsort"), "y", 100, 150) >= 0.90
+    # and z-order still prunes x too (both dims, not a trade)
+    assert surviving(str(tmp_path / "zorder"), "x", 100, 150) <= 0.30
