@@ -7119,6 +7119,47 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_url_ops",
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang AS url,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang AS query,
+           lang AS lang_param
+    FROM documents
+    """,
+    doc="URL parsing surface (S2-adjacent — the reference normalizes and "
+        "builds URLs at common.py:10-13, main.py:52-57): parse_url "
+        "extracts HOST / PATH / QUERY and a named QUERY parameter "
+        "JVM-side — the per-domain grouping primitive for crawl "
+        "frontiers and domain-mixture accounting at corpus scale. URLs "
+        "are synthesized from table columns, so the oracle rebuilds "
+        "every extracted part from the same inputs — golden by "
+        "construction, no URL-grammar divergence risk.",
+)
+def scalar_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
