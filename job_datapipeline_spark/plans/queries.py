@@ -7217,6 +7217,38 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           round(t.o_totalprice, 2) AS top_price
+    FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) t ON true
+    """,
+    doc="LATERAL correlated subquery via the Spark 4 DataFrame API "
+        "(df.lateralJoin + Column.outer()): each customer's top-2 orders "
+        "through a correlated ORDER+LIMIT — the per-row-subquery SHAPE, "
+        "which Catalyst decorrelates into the same window top-k plan "
+        "topk_orders_per_customer writes by hand (DecorrelateInnerQuery "
+        "rewrites the limit into a rank filter — no per-row execution "
+        "survives to the physical plan). The API matters for generated/"
+        "migrated SQL where LATERAL is the source idiom.",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders")
+    return c.lateralJoin(
+        o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    ).select("c_custkey", "o_orderkey", "top_price")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The external correctness gate hard-checks the FIRST 50
 # registry entries in insertion order; everything is oracle-green locally
