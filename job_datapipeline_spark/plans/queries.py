@@ -18,6 +18,9 @@ Cross-engine determinism rules (applied in BOTH the Spark plan and oracle):
 
 from __future__ import annotations
 
+import os as _os
+import os.path as _os_path
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -49,6 +52,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
         return fn
 
     return deco
+
+
+def _scratch_dir(key: str) -> str:
+    """A stable per-query scratch directory, wiped on every call.
+
+    Fixture-writing queries (streaming checkpoints, sink round trips,
+    multimodal fixtures) previously mkdtemp'd a fresh dir per invocation and
+    never cleaned up, so repeated gate runs accumulated temp data on disk.
+    Keying by a per-call-site name under one root keeps disk usage bounded
+    (at most one copy per query) while the wipe preserves the fresh-dir
+    semantics streaming checkpoints rely on: a reused checkpoint would
+    resume from the prior run's committed offsets and emit zero rows.
+    """
+    import getpass
+    import shutil
+    import tempfile
+
+    root = _os_path.join(
+        tempfile.gettempdir(), f"jdp_scratch_{getpass.getuser()}"
+    )
+    path = _os_path.join(root, key)
+    shutil.rmtree(path, ignore_errors=True)
+    _os.makedirs(path, exist_ok=True)
+    return path
 
 
 # ---------------------------------------------------------------------------
@@ -1997,7 +2024,15 @@ def _stream_events_src(spark: SparkSession, sf_dir: str, planted_dups: bool = Fa
     if cached is not None and os.path.isdir(cached):
         return cached
 
-    src = tempfile.mkdtemp(prefix="stream_src_") + "/events_src"
+    # scratch key must carry every memo-key dimension that changes the
+    # fixture CONTENT (dup planting, scale factor) — a shared key would let
+    # one variant wipe-and-replace the directory the other's memo entry
+    # still points at.
+    import hashlib
+
+    variant = "dups" if planted_dups else "plain"
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = _scratch_dir(f"stream_src_{variant}_{sf_tag}") + "/events_src"
     ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     if planted_dups:
         ev = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
@@ -2054,7 +2089,7 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         available_now_to_memory(
             sessionize_stateful(read_events_stream(spark, src)),
             name,
-            tempfile.mkdtemp(prefix="sess_stateful_") + "/ckpt",
+            _scratch_dir("sess_stateful") + "/ckpt",
             output_mode="append",
         )
     return spark.table(name).select(
@@ -3100,7 +3135,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now_to_memory(
             dedup_events_stream(read_events_stream(spark, src)),
             name,
-            tempfile.mkdtemp(prefix="stream_dedup_") + "/ckpt",
+            _scratch_dir("stream_dedup") + "/ckpt",
             output_mode="append",
         )
     return spark.table(name).select(
@@ -3146,7 +3181,7 @@ def streaming_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         available_now_to_memory(
             view_click_attribution_stream(read_events_stream(spark, src)),
             name,
-            tempfile.mkdtemp(prefix="stream_attr_") + "/ckpt",
+            _scratch_dir("stream_attr") + "/ckpt",
             output_mode="append",
         )
     return spark.table(name)
@@ -3176,7 +3211,7 @@ def sink_roundtrip_newest_partition(spark: SparkSession, sf_dir: str) -> DataFra
     from ..sources.readers import read_newest_partition
     from ..sources.sinks import write_partitioned_parquet
 
-    base = tempfile.mkdtemp(prefix="sink_rt_") + "/orders_daily"
+    base = _scratch_dir("sink_rt") + "/orders_daily"
     orders = table(spark, sf_dir, "orders")
     run1 = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
         "run_date", F.lit("2024-05-01")
@@ -3303,7 +3338,7 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         real_image_decoder,
     )
 
-    base = tempfile.mkdtemp(prefix="bmp_fixtures_")
+    base = _scratch_dir("bmp_fixtures")
     for name, w, h in _BMP_FIXTURES:
         with open(os.path.join(base, name), "wb") as fh:
             fh.write(_bmp_bytes(w, h))
@@ -3389,7 +3424,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.multimodal import decode_audio_features, read_binary_dir
 
-    base = tempfile.mkdtemp(prefix="wav_fixtures_")
+    base = _scratch_dir("wav_fixtures")
     for name, nch, rate, n, mult in _WAV_FIXTURES:
         with open(os.path.join(base, name), "wb") as fh:
             fh.write(_wav_bytes(nch, rate, n, mult))
@@ -3441,7 +3476,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now_to_memory(
             hourly_rollup_stream(read_events_stream(spark, src)),
             name,
-            tempfile.mkdtemp(prefix="stream_rollup_") + "/ckpt",
+            _scratch_dir("stream_rollup") + "/ckpt",
             output_mode="complete",
         )
     return spark.table(name)
@@ -3780,7 +3815,7 @@ def streaming_incremental_parquet(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.pipelines import available_now_to_parquet, read_events_stream
 
     src = _stream_events_src(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="stream_sink_")
+    base = _scratch_dir("stream_sink")
     out, ckpt = base + "/out", base + "/ckpt"
     with _stream_state_partitions(spark):
         for _ in range(2):  # second run: same checkpoint, no new files -> no rows
@@ -3815,7 +3850,7 @@ def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sinks import write_csv
 
     orders = table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders_csv"
+    path = _scratch_dir("csv_rt") + "/orders_csv"
     write_csv(orders, path)
     back = (
         spark.read.option("header", "true")
@@ -5097,7 +5132,7 @@ def text_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="schema_evo_") + "/customers"
+    base = _scratch_dir("schema_evo") + "/customers"
     c = table(spark, sf_dir, "customer")
     v1 = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_mktsegment")
     v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
@@ -5659,7 +5694,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.multimodal import read_binary_dir, sample_video_frames
 
-    base = tempfile.mkdtemp(prefix="vid_fixtures_")
+    base = _scratch_dir("vid_fixtures")
     for name, n_frames in _VID_FIXTURES:
         with open(os.path.join(base, name), "wb") as fh:
             fh.write(_vid_bytes(n_frames))
@@ -5850,14 +5885,30 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_decimal_exact",
     oracle="""
+    -- avg is NOT replayed with DuckDB's avg(DECIMAL): that computes in
+    -- DOUBLE and can diverge by one ulp of the 6th decimal near a rounding
+    -- boundary. Spark does exact decimal division HALF_UP at scale 6, so
+    -- the oracle replays it in integer arithmetic: cents -> micro-units,
+    -- half-up quotient, formatted to the same 6-decimal string.
+    WITH s AS (
+        SELECT o_orderpriority,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2))
+                        AS DECIMAL(28, 2))) AS total,
+               count(*) AS n,
+               max(CAST(o_totalprice AS DECIMAL(18, 2))) AS mx
+        FROM orders
+        GROUP BY o_orderpriority),
+    q AS (
+        SELECT o_orderpriority, total, mx,
+               CAST((2 * CAST(total * 100 AS HUGEINT) * 10000
+                     + CAST(n AS HUGEINT))
+                    // (2 * CAST(n AS HUGEINT)) AS BIGINT) AS micro
+        FROM s)
     SELECT o_orderpriority,
-           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(28, 2)))
-                AS VARCHAR) AS total_exact,
-           CAST(CAST(avg(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(28, 6))
-                AS VARCHAR) AS avg_exact,
-           CAST(max(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR) AS max_exact
-    FROM orders
-    GROUP BY o_orderpriority
+           CAST(total AS VARCHAR) AS total_exact,
+           printf('%d.%06d', micro // 1000000, micro % 1000000) AS avg_exact,
+           CAST(mx AS VARCHAR) AS max_exact
+    FROM q
     """,
     doc="Exact DECIMAL aggregation — the money path: prices cast to "
         "DECIMAL(18,2) sum EXACTLY (integer arithmetic under the hood, "
@@ -5868,9 +5919,11 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rollups use decimal despite the ~2x aggregate cost: "
         "re-partitioning, AQE re-plans, and retry reordering can never "
         "change a cent. Spark widens sum(DECIMAL(18,2)) to (28,2) and "
-        "avg to (22,6); both sides serialize the exact decimals as "
-        "strings (pandas would otherwise lossy-coerce DuckDB DECIMALs "
-        "to float64).",
+        "avg to (22,6) with exact HALF_UP decimal division; the oracle "
+        "replays that division in integer micro-units rather than "
+        "DuckDB's double-valued avg(DECIMAL). Both sides serialize the "
+        "exact decimals as strings (pandas would otherwise lossy-coerce "
+        "DuckDB DECIMALs to float64).",
 )
 def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -6229,9 +6282,11 @@ def python_udtf_regex_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DataSource-API form of the reference's row-loop DynamoDB put "
         "(populator.py:47-58), with job-level atomicity the loop lacks "
         "(abort leaves no manifest). The query writes a 5-row rollup "
-        "through the sink, reads the JSONL back with an explicit schema, "
-        "and carries the manifest row count — a hash match certifies "
-        "write, commit protocol, and read-back together.",
+        "through the sink, reads back ONLY the manifest-listed files "
+        "(orphans from failed/speculative attempts never enter a commit "
+        "message, so a glob read could double-count), and carries the "
+        "manifest row count — a hash match certifies write, commit "
+        "protocol, and read-back together.",
 )
 def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
@@ -6246,7 +6301,7 @@ def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         spark.dataSource.register(JsonlDirDataSource)
     except Exception:
         pass
-    out = tempfile.mkdtemp(prefix="jsonl_sink_") + "/rollup"
+    out = _scratch_dir("jsonl_sink") + "/rollup"
     rollup = (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -6258,11 +6313,22 @@ def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     rollup.coalesce(2).write.format("jsonl_dir").option("path", out).mode(
         "append"
     ).save()
-    with open(_os.path.join(out, "_MANIFEST.json")) as fh:
-        manifest_rows = int(_json.load(fh)["total_rows"])
+    # The manifest IS the commit record: read back only the files it lists
+    # (orphan part files from failed/speculative attempts are never in a
+    # commit message; a glob read would double-count them), and fail loudly
+    # if it is absent — an unpublished directory is not data.
+    manifest_path = _os.path.join(out, "_MANIFEST.json")
+    if not _os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"no _MANIFEST.json under {out}: jsonl_dir write did not commit"
+        )
+    with open(manifest_path) as fh:
+        manifest = _json.load(fh)
+    manifest_rows = int(manifest["total_rows"])
+    committed = [_os.path.join(out, f) for f in manifest["files"]]
     back = spark.read.schema(
         "o_orderpriority string, n_orders bigint, total_price double"
-    ).json(out, pathGlobFilter="*.jsonl")
+    ).json(committed)
     return back.select(
         "o_orderpriority",
         "n_orders",
@@ -6326,7 +6392,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.multimodal import read_binary_dir, resize_image_features
 
-    base = tempfile.mkdtemp(prefix="bmp_resize_")
+    base = _scratch_dir("bmp_resize")
     for name, w, h in _BMP_FIXTURES:
         with open(os.path.join(base, name), "wb") as fh:
             fh.write(_bmp_bytes(w, h))
@@ -6519,7 +6585,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now_to_memory(
             rollup,
             name,
-            tempfile.mkdtemp(prefix="static_enrich_") + "/ckpt",
+            _scratch_dir("static_enrich") + "/ckpt",
             output_mode="complete",
         )
     return spark.table(name)
@@ -6562,14 +6628,14 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             "day", F.expr("approx_percentile(ts, 0.5)")
         ).alias("c")
     ).first()["c"]
-    src = tempfile.mkdtemp(prefix="febatch_src_") + "/events"
+    src = _scratch_dir("febatch_src") + "/events"
     ev.filter(F.col("ts") < F.lit(cutoff)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(src)
     ev.filter(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.mode(
         "append"
     ).parquet(src)
-    target = tempfile.mkdtemp(prefix="febatch_tgt_") + "/hourly"
+    target = _scratch_dir("febatch_tgt") + "/hourly"
 
     def run_stream() -> None:
         stream = (
@@ -6581,7 +6647,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         foreachbatch_partition_upsert(
             with_day,
             target,
-            tempfile.mkdtemp(prefix="febatch_ck_") + "/ckpt",
+            _scratch_dir("febatch_ck") + "/ckpt",
             partition_col="event_day",
         )
 
@@ -7170,17 +7236,24 @@ def scalar_url_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE INTERVAL 30 MINUTE END AS end_ts
         FROM events),
     m AS (
-        SELECT user_id, ts, end_ts,
+        SELECT user_id, ts, event_id, end_ts,
                max(end_ts) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND 1 PRECEDING) AS prev_max
         FROM g),
     flagged AS (
+        -- Both windows order by (ts, event_id): the running sum MUST scan
+        -- rows in the same total order the new-session flags were computed
+        -- under, or same-timestamp events can land in the wrong session.
+        -- Exact-boundary convention (empirically pinned, Spark 4.1: two
+        -- events at t and t+gap yield ONE session ending t+2*gap): an
+        -- event landing exactly at the current session end MERGES, so a
+        -- new session starts only when ts > prev_max, strictly.
         SELECT user_id, ts, end_ts,
                sum(CASE WHEN prev_max IS NULL OR ts > prev_max
                         THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, end_ts
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS sid
         FROM m)
     SELECT user_id,

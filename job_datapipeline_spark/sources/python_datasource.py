@@ -129,6 +129,14 @@ class _JsonlDirWriter(DataSourceWriter):
         return _JsonlCommit(filename=name, n_rows=n)
 
     def commit(self, messages):
+        """Publish the job: write _MANIFEST.json naming exactly the files of
+        committed task attempts. The manifest IS the commit record — readers
+        MUST read only manifest-listed files (orphan part files from failed
+        or speculative attempts are uuid-named and never appear in a commit
+        message, so a glob read would double-count them). Assumes a
+        filesystem shared between driver and executors (local mode / NFS /
+        fuse mount); on a non-shared FS the manifest still names the right
+        files but abort() below cannot reach them."""
         manifest = {
             "files": sorted(m.filename for m in messages if m is not None),
             "total_rows": sum(m.n_rows for m in messages if m is not None),
@@ -137,6 +145,13 @@ class _JsonlDirWriter(DataSourceWriter):
             _json.dump(manifest, fh)
 
     def abort(self, messages):
+        """Best-effort cleanup of committed-task files via driver-local
+        os.remove — only effective when the driver sees the same filesystem
+        the executors wrote (local mode / shared mount). On a non-shared FS
+        the orphans remain on executors, which is safe because readers go
+        through the manifest (absent after abort ⇒ directory unpublished);
+        cleanup there would belong to a storage-side GC, as with Spark's own
+        uncommitted cloud-committer files."""
         for m in messages or []:
             if m is not None:
                 try:

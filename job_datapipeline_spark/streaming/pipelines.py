@@ -221,7 +221,19 @@ def foreachbatch_partition_upsert(
     idempotent at the partition level, the MERGE-less upsert for plain
     parquet. The checkpoint gives each batch an id; Spark guarantees
     foreachBatch sees every batch at least once, and the overwrite makes
-    re-delivery harmless."""
+    re-delivery harmless.
+
+    PRECONDITION — whole partitions per batch: every micro-batch MUST carry
+    ALL rows of each `partition_col` value it touches (e.g. an aggregated
+    stream in update mode re-emitting the full current rollup rows for the
+    touched keys). A batch carrying a PARTIAL partition silently deletes
+    the rows an earlier batch wrote for that partition, because overwrite
+    replaces the whole directory. If the upstream cannot guarantee this,
+    aggregate to one row per (partition, key) inside `upsert` from a
+    read-modify-write of the existing partition, or use a MERGE-capable
+    table format. The registry query satisfies it by feeding a complete
+    per-hour rollup whose update-mode output re-emits every changed hour in
+    full."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
