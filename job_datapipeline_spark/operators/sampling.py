@@ -114,21 +114,6 @@ def mixture_sample(
     total_w = sum(weights.values())
     if abs(total_w - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1 (got {total_w})")
-    # Eager guard: a weight group with NO rows would silently fall out of
-    # the inner join below and the realized mixture could be arbitrarily
-    # far from the request (e.g. {'en':.5,'xx':.5} with no 'xx' rows ->
-    # 100% 'en'). One narrow distinct over the group column is cheap
-    # relative to returning a wrong corpus.
-    present = {
-        r[group_col]
-        for r in df.select(group_col).distinct().collect()
-    }
-    missing = sorted(set(weights) - present)
-    if missing:
-        raise ValueError(
-            f"weight groups absent from the data: {missing} — the requested "
-            "mixture is unachievable (remove them or fix the group column)"
-        )
     spark = df.sparkSession
     wdim = (
         spark.range(1)
@@ -147,8 +132,31 @@ def mixture_sample(
         .select("_s.*")
     )
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
-    cw = counts.join(F.broadcast(wdim), group_col).withColumn(
-        "_ratio", F.col("_n").cast("double") / F.col("_w")
+    # In-plan guard: a weight group with NO rows would make the requested
+    # mixture unachievable (e.g. {'en':.5,'xx':.5} with no 'xx' rows ->
+    # 100% 'en' after the join). The weight dim LEFT-joins the counts and
+    # any unmatched group trips raise_error when the tiny probability dim
+    # is computed — no driver-side distinct-collect, so the guard costs
+    # nothing extra at 100 TB (the counts aggregate is needed anyway).
+    cw = (
+        wdim.join(counts, group_col, "left")
+        .withColumn(
+            "_n",
+            F.when(
+                F.col("_n").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("weight group absent from the data: "),
+                        F.col(group_col),
+                        F.lit(
+                            " — the requested mixture is unachievable "
+                            "(remove it or fix the group column)"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("_n")),
+        )
+        .withColumn("_ratio", F.col("_n").cast("double") / F.col("_w"))
     )
     m = cw.agg(F.min("_ratio").alias("_m"))
     probs = (

@@ -17,9 +17,11 @@ Decoders: ``real_image_decoder`` is the production seam — PIL when
 importable (not in this container), with a REAL dependency-free BMP codec
 (``bmp_image_decoder``: actual format parsing — header, bottom-up rows,
 stride padding) always available, and the deterministic FAKEIMG toy format
-kept for plumbing tests. ``sample_video_frames`` raises
-NotImplementedError unless a codec callable is injected (no video lib
-here). The Spark-side plumbing — schemas, UDF signatures, Arrow batch
+kept for plumbing tests. Video mirrors the same pattern:
+``real_video_frame_decoder`` probes pyav and the ffmpeg CLI once at
+import and falls back to the deterministic toy container; with no codec
+in the environment an undecodable blob yields an auditable null row, not
+an error. The Spark-side plumbing — schemas, UDF signatures, Arrow batch
 shapes, partitioning — is real and tested either way.
 """
 
@@ -332,30 +334,195 @@ VIDEO_FRAMES_SCHEMA = StructType(
     ]
 )
 
+# A video frame decoder maps (content, every_n) -> [(frame_index,
+# [mean_lum, max_lum]), ...] for every n-th frame, with luminance
+# normalized to [0, 1] and rounded to 6dp, or None when the bytes are not
+# decodable by that codec. Same contract for the toy container, pyav, and
+# ffmpeg — callers can swap decoders without changing the plan.
+VideoFrameDecoder = Callable[[bytes, int], "list | None"]
+
+try:  # probed ONCE at import, like the PIL probe above — a failed import
+    # inside the per-blob loop would re-scan sys.path for every row
+    import av as _pyav  # pyav: ffmpeg bindings
+except Exception:  # noqa: BLE001 — pyav can raise beyond ImportError on load
+    _pyav = None
+
+import shutil as _shutil
+
+_FFMPEG_BIN = _shutil.which("ffmpeg")
+_FFPROBE_BIN = _shutil.which("ffprobe")
+
+
+def is_toy_video(content: bytes) -> bool:
+    """The toy container has an exact length signature: 4-byte LE frame
+    count then 16 bytes per frame. Real container formats (mp4/mkv/webm)
+    can never satisfy it — their headers alone exceed a plausible count."""
+    if len(content) < 4:
+        return False
+    n = int.from_bytes(content[:4], "little")
+    return len(content) == 4 + 16 * n
+
+
+def toy_video_frame_decoder(content: bytes, every_n: int) -> "list | None":
+    """Deterministic toy-container codec (4-byte LE frame count + 16
+    luminance bytes per frame) — the always-available test path of the
+    seam, exactly as FAKEIMG is for images. Emits (frame_index,
+    [mean_lum, max_lum]) per sampled frame."""
+    if not is_toy_video(content):
+        return None
+    n = int.from_bytes(content[:4], "little")
+    frames = np.frombuffer(content, dtype=np.uint8, offset=4).reshape(n, 16) if n else np.zeros((0, 16), np.uint8)
+    out = []
+    for i in range(0, n, every_n):
+        chunk = frames[i]
+        out.append(
+            (
+                i,
+                [
+                    round(float(chunk.sum()) / 16 / 255, 6),
+                    round(float(chunk.max()) / 255, 6),
+                ],
+            )
+        )
+    return out
+
+
+def av_video_frame_decoder(content: bytes, every_n: int) -> "list | None":
+    """pyav-backed REAL codec path (mp4/mkv/webm/...), selected only when
+    ``av`` is importable — this container ships no video libs, so the
+    import is gated at module load, not assumed. Features are computed on
+    the full-resolution gray plane: the same [mean_lum, max_lum] contract
+    as the toy codec."""
+    if _pyav is None:
+        return None
+    import io
+
+    try:
+        with _pyav.open(io.BytesIO(content)) as container:
+            stream = container.streams.video[0]
+            out = []
+            for i, frame in enumerate(container.decode(stream)):
+                if i % every_n:
+                    continue
+                gray = frame.to_ndarray(format="gray")
+                out.append(
+                    (
+                        i,
+                        [
+                            round(float(gray.mean()) / 255.0, 6),
+                            round(float(gray.max()) / 255.0, 6),
+                        ],
+                    )
+                )
+            return out
+    except Exception:  # noqa: BLE001 — undecodable blob -> auditable null row
+        return None
+
+
+def ffmpeg_video_frame_decoder(content: bytes, every_n: int) -> "list | None":
+    """ffmpeg-CLI-backed REAL codec path, selected when the ``ffmpeg`` +
+    ``ffprobe`` binaries are on PATH (probed once at import). ffprobe
+    reads the stream geometry, ffmpeg emits every n-th frame as raw
+    full-resolution gray bytes, and features follow the shared
+    [mean_lum, max_lum] contract. Bytes go through a temp file because
+    most containers need seekable input for their index."""
+    if _FFMPEG_BIN is None or _FFPROBE_BIN is None:
+        return None
+    import json
+    import os
+    import subprocess
+    import tempfile
+
+    try:
+        fd, path = tempfile.mkstemp(suffix=".video")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(content)
+            probe = subprocess.run(
+                [
+                    _FFPROBE_BIN, "-v", "error", "-select_streams", "v:0",
+                    "-show_entries", "stream=width,height", "-of", "json", path,
+                ],
+                capture_output=True,
+                check=True,
+            )
+            info = json.loads(probe.stdout)["streams"][0]
+            w, h = int(info["width"]), int(info["height"])
+            raw = subprocess.run(
+                [
+                    _FFMPEG_BIN, "-v", "error", "-i", path,
+                    "-vf", f"select='not(mod(n\\,{every_n}))'", "-vsync", "vfr",
+                    "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1",
+                ],
+                capture_output=True,
+                check=True,
+            ).stdout
+        finally:
+            os.unlink(path)
+        frames = np.frombuffer(raw, dtype=np.uint8)
+        if w <= 0 or h <= 0 or frames.size % (w * h):
+            return None
+        out = []
+        for k in range(frames.size // (w * h)):
+            g = frames[k * w * h : (k + 1) * w * h]
+            out.append(
+                (
+                    k * every_n,
+                    [
+                        round(float(g.mean()) / 255.0, 6),
+                        round(float(g.max()) / 255.0, 6),
+                    ],
+                )
+            )
+        return out
+    except Exception:  # noqa: BLE001 — undecodable blob -> auditable null row
+        return None
+
+
+def real_video_frame_decoder(content: bytes, every_n: int) -> "list | None":
+    """The production decoder seam, mirroring real_image_decoder: the
+    deterministic toy container first (exact length signature, can never
+    shadow a real format), then pyav, then the ffmpeg CLI — whichever this
+    environment provides. None when nothing decodes; the mapInPandas stage
+    surfaces that as a null row, never a dropped blob or a task failure."""
+    for dec in (toy_video_frame_decoder, av_video_frame_decoder, ffmpeg_video_frame_decoder):
+        out = dec(content, every_n)
+        if out is not None:
+            return out
+    return None
+
+
+def video_codec_available() -> bool:
+    """True when a REAL codec path (pyav or ffmpeg) exists — the toy
+    container doesn't count. Lets deployments assert their environment
+    instead of discovering null rows downstream."""
+    return _pyav is not None or (_FFMPEG_BIN is not None and _FFPROBE_BIN is not None)
+
 
 def sample_video_frames(
     df: DataFrame,
     every_n: int = 30,
-    frame_decoder: Callable[[bytes, int], list] | None = None,
+    frame_decoder: VideoFrameDecoder | None = None,
     path_col: str = "path",
     content_col: str = "content",
 ) -> DataFrame:
-    """Frame-sampling stage shape (one row per sampled frame). STUB: no
-    video codec ships in this environment — raises unless a
-    ``frame_decoder(content, every_n) -> [(idx, features), ...]`` is
-    injected. The schema, fan-out shape, and batching are the real
-    contract a codec-equipped deployment plugs into."""
+    """Frame-sampling stage (one row per sampled frame), defaulting to the
+    ``real_video_frame_decoder`` seam: toy container always, pyav/ffmpeg
+    when the environment ships them (probed once at import, like PIL for
+    images). Undecodable blobs keep one row with null frame columns —
+    auditable, never silently dropped, never a task failure."""
     if frame_decoder is None:
-        raise NotImplementedError(
-            "no video codec in this environment; inject frame_decoder "
-            "(e.g. an ffmpeg/pyav-backed callable) to enable frame sampling"
-        )
+        frame_decoder = real_video_frame_decoder
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf[path_col], pdf[content_col]):
-                for idx, feats in frame_decoder(bytes(content), every_n):
+                decoded = frame_decoder(bytes(content) if content is not None else b"", every_n)
+                if decoded is None:
+                    rows.append({"path": path, "frame_index": None, "frame_features": None})
+                    continue
+                for idx, feats in decoded:
                     rows.append({"path": path, "frame_index": idx, "frame_features": feats})
             yield pd.DataFrame(rows, columns=["path", "frame_index", "frame_features"])
 

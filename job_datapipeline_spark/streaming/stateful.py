@@ -198,6 +198,25 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
             f"state-server protocol; not importable here: {detail}"
         )
 
+    processor, out_schema = totals_stateful_processor()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=processor,
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )
+
+
+def totals_stateful_processor():
+    """Build the (StatefulProcessor, output schema) pair user_totals_tws
+    hands to transformWithStateInPandas. Exposed separately so the state
+    transitions can be driven WITHOUT the protobuf worker: the processor
+    only talks to its handle through getValueState/exists/get/update, so a
+    test can inject an in-memory handle and replay micro-batches —
+    proving handleInputRows' cumulative semantics in environments where
+    the TWS state server can't start (this container lacks protobuf).
+    The class itself imports cleanly either way; only the streaming
+    runtime needs the protocol."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -230,9 +249,4 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_Totals(),
-        outputStructType=out_schema,
-        outputMode="append",
-        timeMode="None",
-    )
+    return _Totals(), out_schema

@@ -52,10 +52,44 @@ def test_decode_image_features_fake_decoder(spark):
     assert feats["clip_001.aud"]["features"] is None
 
 
-def test_video_stub_raises_without_decoder(spark):
+def test_video_default_seam_nulls_undecodable_blobs(spark):
+    """With no real codec in this container (no pyav, no ffmpeg), the
+    default real_video_frame_decoder seam must keep every non-toy blob as
+    one auditable null row — never drop it, never fail the task."""
     df = MM.read_binary_dir(spark, BLOB_DIR)
-    with pytest.raises(NotImplementedError, match="codec"):
-        MM.sample_video_frames(df)
+    n_blobs = df.count()
+    rows = MM.sample_video_frames(df).collect()
+    assert len(rows) == n_blobs
+    assert all(r["frame_index"] is None and r["frame_features"] is None for r in rows)
+
+
+def test_video_default_seam_decodes_toy_container(spark, tmp_path):
+    """The default seam (no injected decoder) recognizes the toy container
+    by its exact length signature and samples every n-th frame."""
+    n_frames = 7
+    body = bytes((i * 3 + j) % 256 for i in range(n_frames) for j in range(16))
+    (tmp_path / "clip.vid").write_bytes(n_frames.to_bytes(4, "little") + body)
+    df = MM.read_binary_dir(spark, str(tmp_path), glob="*.vid")
+    rows = sorted(
+        MM.sample_video_frames(df, every_n=3).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in rows] == [0, 3, 6]
+    # golden replay of frame 3's features by plain python
+    chunk = body[16 * 3 : 16 * 4]
+    assert rows[1]["frame_features"] == [
+        round(sum(chunk) / 16 / 255, 6),
+        round(max(chunk) / 255, 6),
+    ]
+
+
+def test_toy_video_signature_rejects_real_container_headers():
+    # an mp4 ftyp box can never satisfy the exact toy length signature
+    mp4_header = b"\x00\x00\x00\x20ftypisom" + b"\x00" * 100
+    assert not MM.is_toy_video(mp4_header)
+    assert MM.toy_video_frame_decoder(mp4_header, 3) is None
+    assert MM.real_video_frame_decoder(mp4_header, 3) is None  # no codec here
+    assert not MM.video_codec_available()
 
 
 def test_video_plumbing_with_injected_decoder(spark):

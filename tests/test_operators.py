@@ -689,13 +689,17 @@ def test_salted_joins_reject_dim_preserving_how(spark):
 
 
 def test_mixture_sample_rejects_absent_group(spark, sf_dir):
+    """The absent-group guard is IN-PLAN (raise_error on the unmatched side
+    of the weight-dim left join), so it fires on action, not at call time —
+    no driver-side distinct-collect remains in the operator."""
     import pytest as _pytest
+    from pyspark.errors.exceptions.base import PySparkException
 
     from job_datapipeline_spark.operators.sampling import mixture_sample
 
     docs = table(spark, sf_dir, "documents")
-    with _pytest.raises(ValueError, match="absent"):
-        mixture_sample(docs, "lang", {"en": 0.5, "xx": 0.5}, "doc_id")
+    with _pytest.raises(PySparkException, match="absent"):
+        mixture_sample(docs, "lang", {"en": 0.5, "xx": 0.5}, "doc_id").count()
 
 
 def test_kmeans_refinement_does_not_increase_objective(spark, sf_dir):

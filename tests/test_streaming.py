@@ -275,3 +275,75 @@ def test_transform_with_state_totals_or_documented_gate(spark, sf_dir):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_processor_differential_replay(spark, sf_dir):
+    """Pure-python replay of the TWS state transitions — proves the
+    StatefulProcessor's cross-batch semantics WITHOUT the protobuf state
+    server (absent in this container). The processor only touches its
+    handle via getValueState/exists/get/update, so an in-memory handle
+    keyed the way the runtime keys state (per grouping key) drives the
+    REAL class through three micro-batches; every emission must equal the
+    independently-computed cumulative aggregate of the batches seen so
+    far, and the final emission must equal the whole-table groupBy."""
+    import pandas as pd
+
+    from job_datapipeline_spark.catalog import table
+    from job_datapipeline_spark.streaming.stateful import totals_stateful_processor
+
+    processor, out_schema = totals_stateful_processor()
+    assert [f.name for f in out_schema.fields] == [
+        "user_id", "n_events", "total_value",
+    ]
+
+    class _FakeValueState:
+        def __init__(self, store, key):
+            self._store, self._key = store, key
+
+        def exists(self):
+            return self._key in self._store
+
+        def get(self):
+            return self._store[self._key]
+
+        def update(self, value):
+            self._store[self._key] = tuple(value)
+
+    class _FakeHandle:
+        def __init__(self, store, key):
+            self._store, self._key = store, key
+
+        def getValueState(self, name, schema):
+            return _FakeValueState(self._store, (name, self._key))
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .toPandas()
+    )
+    batches = [ev[ev["event_id"] % 3 == k] for k in range(3)]
+    store: dict = {}
+    seen = pd.DataFrame(columns=ev.columns)
+    for batch in batches:
+        emitted = {}
+        for user_id, pdf in batch.groupby("user_id"):
+            processor.init(_FakeHandle(store, int(user_id)))
+            for out in processor.handleInputRows((int(user_id),), iter([pdf]), None):
+                emitted[int(out["user_id"].iloc[0])] = (
+                    int(out["n_events"].iloc[0]),
+                    float(out["total_value"].iloc[0]),
+                )
+        seen = pd.concat([seen, batch], ignore_index=True)
+        # independent cumulative expectation over all batches so far
+        cum = seen.groupby("user_id").agg(n=("value", "size"), s=("value", "sum"))
+        assert set(emitted) == set(batch["user_id"].astype(int).unique())
+        for uid, (n, s) in emitted.items():
+            assert n == int(cum.loc[uid, "n"])
+            assert abs(s - float(cum.loc[uid, "s"])) < 1e-6
+    # final state equals the whole-table aggregate for every user
+    total = ev.groupby("user_id").agg(n=("value", "size"), s=("value", "sum"))
+    assert len(store) == len(total)
+    for (name, uid), (n, s) in store.items():
+        assert name == "tot"
+        assert n == int(total.loc[uid, "n"])
+        assert abs(s - float(total.loc[uid, "s"])) < 1e-6
