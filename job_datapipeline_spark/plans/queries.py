@@ -7478,4 +7478,6 @@ def _reorder_registry() -> None:
     REGISTRY.update(ordered)
 
 
+from . import tpch_full  # noqa: E402,F401  (registers the 13 remaining TPC-H shapes)
+
 _reorder_registry()
