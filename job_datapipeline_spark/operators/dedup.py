@@ -720,3 +720,73 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    centroid_ids: tuple[int, ...] = (0, 7, 14, 21, 28, 35, 42, 49),
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    WITHIN each cluster drop every vector whose cosine to a lower-id
+    cluster member is >= threshold (keep-min-id). Returns the surviving
+    rows of ``df`` plus their ``cell`` assignment.
+
+    This is the data-adaptive twin of :func:`embedding_near_dedup`:
+    hyperplane-LSH buckets are oblivious (fixed random planes), SemDeDup
+    cells follow the data distribution — dense semantic regions land in
+    the same cell, so the within-cell pair scan finds "different words,
+    same meaning" duplicates that shingle-based dedup structurally cannot.
+
+    The quantizer is the same training-free design as similarity.ivf_topk
+    (centroids = corpus vectors at fixed ids; a k-means refinement slots
+    in identically — see embedding_kmeans_refine): L2 argmin over a
+    broadcast centroid dim, distance rounded to 6 decimals, ties by
+    centroid id, so the cell assignment is engine-replayable.
+
+    Scale shape: assignment is a broadcast join + per-id window argmin
+    (one shuffle on the id); the pair stage is a self-equi-join ON THE
+    CELL KEY — O(sum of cell^2) not O(n^2), and at 100 TB the corpus is
+    written partitioned by cell so it is partition-local. Cell sizes are
+    bounded by centroid count choice (sqrt-n centroids keeps expected
+    cell size sqrt-n; the paper prunes within k-means clusters of ~1e4
+    for 1e8 docs).
+    """
+    from ..functions.vectors import l2_distance
+    from pyspark.sql import Window
+
+    cents = df.filter(F.col(id_col).isin(*centroid_ids)).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cent")
+    )
+    d = F.round(l2_distance(F.col(vec_col), F.col("_cent")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("_cid"))
+    assigned = (
+        df.join(F.broadcast(cents))
+        .withColumn("_d", d)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, F.col("_cid").alias("cell"))
+    )
+    base = assigned.withColumn("_n", norm(F.col(vec_col)))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"), "cell",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"), "cell",
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).otherwise(F.lit(0.0))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", F.round(cos, 6))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, id_col, "left_anti")

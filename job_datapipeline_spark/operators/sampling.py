@@ -186,6 +186,78 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled domain rebalancing — the multilingual/multi-source
+    recipe (mBERT/XLM-R/mT5 style): target share of group g proportional to
+    ``n_g ** alpha``, flattening the head without fully uniforming the tail
+    (alpha=1 keeps natural proportions, alpha=0 is uniform).
+
+    Like :func:`mixture_sample` this downsamples to the largest corpus
+    achieving the target shares without upsampling. The normalization
+    constant of the target distribution CANCELS in the keep probability:
+
+        p_g = s_g * min_h(n_h / s_h) / n_g        with s_g = n_g ** alpha
+
+    so no cross-group SUM is ever computed — that matters for the hash
+    gate, because a sum of doubles is summation-order-dependent while
+    min() over identical doubles is exact. For ``alpha = 0.5`` (the
+    common choice) ``s_g = sqrt(n_g)`` and p_g reduces to
+    ``sqrt(n_min / n_g)`` from IEEE-exact sqrt/divide, so any SQL engine
+    replays the exact kept set; other alphas go through ``pow``, whose
+    last-ulp behavior can differ between libm builds (documented trade —
+    use mixture_sample with precomputed weights when bit-replay matters
+    at alpha != 0.5).
+
+    Scale shape: one narrow groupBy(count), a broadcast |groups|-row
+    probability dim, a map-side md5-threshold filter — identical to
+    mixture_sample.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1] (got {alpha})")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    nd = F.col("_n").cast("double")
+    if alpha == 0.5:
+        s = F.sqrt(nd)
+    else:
+        s = F.pow(nd, F.lit(float(alpha)))
+    cw = counts.withColumn("_s", s).withColumn("_ratio", nd / F.col("_s"))
+    m = cw.agg(F.min("_ratio").alias("_m"))
+    probs = (
+        cw.crossJoin(F.broadcast(m))
+        .withColumn(
+            "_p",
+            F.least(F.col("_s") * F.col("_m") / F.col("_n").cast("double"), F.lit(1.0)),
+        )
+        .withColumn(
+            "_thr",
+            F.when(F.col("_p") >= 1.0, F.lit("g")).otherwise(
+                F.lower(
+                    F.lpad(
+                        F.hex(F.floor(F.col("_p") * F.lit(4294967296.0)).cast("bigint")),
+                        8,
+                        "0",
+                    )
+                )
+            ),
+        )
+        .select(group_col, "_thr")
+    )
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(probs), group_col)
+        .filter(draw < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

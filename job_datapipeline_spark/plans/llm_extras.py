@@ -1,0 +1,360 @@
+"""Round-4 LLM-pipeline widening: BM25 retrieval, temperature-scaled
+domain rebalancing, and SemDeDup-style semantic pruning.
+
+These extend the training-data surface (SURVEY.md §2 extension families:
+dedup / sampling / text analysis) with three named, widely-used recipes a
+100 TB corpus pipeline runs that the registry did not yet cover:
+
+- BM25 (Robertson/Sparck-Jones): the lexical retrieval baseline used for
+  corpus search, contamination auditing and hard-negative mining. Pure
+  aggregate/join plan — tf, df, doclen, avgdl all relational; nothing
+  collected.
+- Temperature sampling (the ``p_g ~ n_g^alpha`` multilingual rebalancing
+  rule of mBERT/XLM-R/mT5): the data-dependent generalization of
+  corpus_mixture_sample's fixed target shares.
+- SemDeDup (Abbas et al. 2023): embedding-space near-dedup inside coarse
+  quantizer cells — catches "different words, same meaning" duplicates
+  that shingle dedup structurally cannot.
+
+Reference parity: the reference pipeline has no retrieval/sampling stage
+(it processes <2k listings per run; glassdoor-scraper/src/main.py); these
+belong to the extended 100 TB surface, same as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import literal_dim, table
+from ..functions.text import tokenize
+from ..operators.dedup import semantic_prune
+from ..operators.sampling import temperature_sample
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERIES = [
+    (1, "spark"), (1, "join"),
+    (2, "vector"), (2, "scan"), (2, "slow"),
+    (3, "stream"), (3, "window"),
+]
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH q(q_id, term) AS (VALUES {', '.join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+        SELECT q.q_id, tf.doc_id,
+               CAST(round(
+                   ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * {_BM25_K1 + 1.0})
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / s.avgdl))
+                   * 1000000.0) AS BIGINT) AS micros
+        FROM q
+        JOIN df ON df.tok = q.term
+        JOIN tf ON tf.tok = q.term
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT q_id, doc_id, round(sum(micros) / 1000000.0, 4) AS score
+        FROM contrib GROUP BY q_id, doc_id
+    )
+    SELECT q_id, doc_id, score, rank FROM (
+        SELECT q_id, doc_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored) x
+    WHERE rank <= 5
+    """,
+    doc="BM25 top-5 retrieval (k1=1.2, b=0.75, Lucene-style "
+        "ln(1+(N-df+.5)/(df+.5)) idf) for a broadcast literal query set — "
+        "the lexical-search baseline of corpus audit / hard-negative "
+        "mining. All statistics are relational aggregates: tf per "
+        "(doc, term), doclen per doc, df per term (restricted to query "
+        "terms BEFORE the big join — the df dim is |query terms| rows), "
+        "avgdl from an exact bigint sum. Per-term contributions are "
+        "rounded to integer MICRO-units and summed exactly, so the "
+        "per-(query, doc) score never depends on float summation order; "
+        "ranking rounds after the exact sum with doc_id tiebreak. Scale "
+        "shape: the only wide shuffle is the tf aggregate (needed by any "
+        "index build); scoring touches only rows whose token is a query "
+        "term — a semi-join-sized slice, per-doc window over a handful "
+        "of candidate docs per query.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    qdim = literal_dim(
+        spark, _BM25_QUERIES, "q_id bigint, term string"
+    )
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        F.broadcast(qdim)
+        .join(df_, qdim.term == df_.tok)
+        .drop("tok")
+        .join(tf, F.col("term") == tf.tok)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(idf * tf_part * 1000000.0).cast("bigint").alias("micros"),
+        )
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("micros") / 1000000.0, 4).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain rebalancing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_temperature_sample",
+    oracle="""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mr AS (SELECT min(CAST(n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))) AS m FROM cnt),
+    probs AS (
+        SELECT lang,
+               CASE WHEN p >= 1.0 THEN 'g'
+                    ELSE lower(lpad(to_hex(CAST(floor(p * 4294967296.0) AS BIGINT)), 8, '0'))
+               END AS thr
+        FROM (SELECT cnt.lang,
+                     least(sqrt(CAST(cnt.n AS DOUBLE)) * mr.m / CAST(cnt.n AS DOUBLE),
+                           1.0) AS p
+              FROM cnt, mr) x),
+    kept AS (
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN probs p USING (lang)
+        WHERE substring(md5('temp1:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < p.thr)
+    SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang ORDER BY lang
+    """,
+    doc="Temperature-scaled language rebalancing (operators/sampling."
+        "temperature_sample, alpha=0.5): target share of group g "
+        "proportional to n_g^alpha — the mBERT/XLM-R/mT5 multilingual "
+        "recipe that flattens the head without uniforming the tail. The "
+        "normalization constant cancels algebraically (p_g = "
+        "sqrt(n_min/n_g) at alpha=.5), so the plan computes NO cross-"
+        "group sum — only IEEE-exact sqrt/divide/min — and the md5-drawn "
+        "kept set replays bit-exactly on any engine. Same scale shape as "
+        "corpus_mixture_sample: narrow count agg, broadcast probability "
+        "dim, map-side filter.",
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "lang", "doc_id", alpha=0.5, salt="temp1")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept")).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-dedup within quantizer cells
+# ---------------------------------------------------------------------------
+
+_SEM_L2 = (
+    "round(sqrt(list_sum(["
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) * "
+    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) "
+    "FOR i IN range(1, 65)])), 6)"
+)
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    corpus AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM base
+    ),
+    cents AS (
+        SELECT vec_id AS cid, embedding AS cent FROM corpus
+        WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)
+    ),
+    ca AS (
+        SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_SEM_L2}, c.cid) AS r
+            FROM corpus e CROSS JOIN cents c) x
+        WHERE r = 1
+    ),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.embedding, b.embedding) /
+                    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                     sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.95
+    )
+    SELECT cell, count(*) AS n_kept
+    FROM ca WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    GROUP BY cell ORDER BY cell
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over a corpus "
+        "with planted exact copies (ids offset by 1e4): embeddings "
+        "assigned to their nearest of 8 fixed-id centroids (L2 argmin, "
+        "rounded, deterministic ties — the same training-free quantizer "
+        "as ann_ivf_topk; embedding_kmeans_refine shows the k-means "
+        "upgrade), then every vector with cosine >= 0.95 to a lower-id "
+        "CELL-mate is dropped. Every planted copy shares its original's "
+        "cell (identical vector -> identical assignment) and is removed; "
+        "per-cell survivor counts are the output. The pair scan is "
+        "O(sum cell^2), never O(n^2) — at 100 TB the corpus is written "
+        "partitioned by cell and the scan is partition-local, with "
+        "sqrt-n centroids bounding expected cell size.",
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    kept = semantic_prune(corpus, threshold=0.95)
+    return kept.groupBy("cell").agg(F.count("*").alias("n_kept")).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fastText-style hashed bag-of-words)
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 64
+_QC_BIAS = -0.35
+# Deterministic "trained" weights: bucket b gets a fixed literal weight.
+# A real model drops in by replacing this literal dim with its exported
+# (bucket, weight) table — the plan is identical.
+_QC_WEIGHTS = [(b, round(((b * 37 + 11) % 97) / 97.0 - 0.5, 4)) for b in range(_QC_BUCKETS)]
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH w(bucket, wgt) AS (VALUES {', '.join(f"({b}, CAST({v} AS DOUBLE))" for b, v in _QC_WEIGHTS)}),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER) % {_QC_BUCKETS}
+                   AS bucket,
+               count(*) AS cnt
+        FROM toks GROUP BY doc_id, bucket
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    z AS (
+        SELECT f.doc_id,
+               sum(CAST(round(w.wgt * f.cnt * 1000000.0 / dl.dl) AS BIGINT)) AS micros
+        FROM feats f JOIN w USING (bucket) JOIN dl USING (doc_id)
+        GROUP BY f.doc_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(micros / 1000000.0 + {_QC_BIAS}))), 4) AS score
+        FROM z
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(sum(CAST(round(s.score * 10000) AS BIGINT)) / 10000.0 / count(*), 4)
+               AS avg_score
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="fastText-style linear quality classifier (the CCNet / LLaMA-1 "
+        "corpus-filter stage): hashed bag-of-words features (md5-derived "
+        "bucket — engine-portable, unlike murmur defaults), length-"
+        "normalized counts dotted with a BROADCAST (bucket, weight) "
+        "table, sigmoid score, keep-threshold verdict aggregated per "
+        "language. The weight dim is a literal here; a trained model's "
+        "exported table drops into the same plan. Per-bucket "
+        "contributions round to integer micro-units before the per-doc "
+        "sum (order-independent, hash-gate-safe), and the reported "
+        "avg_score averages 4-decimal-rounded scores via exact integer "
+        "sums. Scale shape: one tf aggregate, one broadcast join, one "
+        "narrow per-doc sum — a pure map/agg pipeline, no UDF, no "
+        "model server on the hot path.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wdim = literal_dim(spark, _QC_WEIGHTS, "bucket int, wgt double")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+        % _QC_BUCKETS
+    )
+    feats = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    z = (
+        feats.join(F.broadcast(wdim), "bucket")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("wgt") * F.col("cnt") * 1000000.0 / F.col("dl")).cast(
+                    "bigint"
+                )
+            ).alias("micros")
+        )
+    )
+    scored = z.select(
+        "doc_id",
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("micros") / 1000000.0 + F.lit(_QC_BIAS)))), 4
+        ).alias("score"),
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.round(
+                F.sum(F.round(F.col("score") * 10000).cast("bigint")) / 10000.0
+                / F.count("*"),
+                4,
+            ).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )

@@ -7478,6 +7478,7 @@ def _reorder_registry() -> None:
     REGISTRY.update(ordered)
 
 
+from . import llm_extras  # noqa: E402,F401  (BM25 / temperature sampling / SemDeDup)
 from . import tpch_full  # noqa: E402,F401  (registers the 13 remaining TPC-H shapes)
 
 _reorder_registry()
