@@ -763,12 +763,17 @@ def semantic_prune(
     )
     d = F.round(l2_distance(F.col(vec_col), F.col("_cent")), 6)
     w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("_cid"))
+    # Three consumers (both pair-join sides + the final anti-join LHS):
+    # materialize the assignment once — at scale this is the
+    # write-partitioned-by-cell step; lazily, Spark would recompute the
+    # broadcast-argmin per consumer (no subplan CSE).
     assigned = (
         df.join(F.broadcast(cents))
         .withColumn("_d", d)
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select(id_col, vec_col, F.col("_cid").alias("cell"))
+        .localCheckpoint()
     )
     base = assigned.withColumn("_n", norm(F.col(vec_col)))
     a = base.select(

@@ -104,8 +104,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _BM25_QUERIES, "q_id bigint, term string"
     )
     toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # ONE pass over the corpus: tf is the only aggregate computed from the
+    # raw token stream (localCheckpointed — it feeds df, dl and the scoring
+    # join, and Spark does not CSE identical subplans); doclen is the SUM
+    # of tf per doc, not a second explode+scan of documents.
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
@@ -320,10 +324,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
         % _QC_BUCKETS
     )
+    # One corpus pass: doclen is the per-doc SUM of bucket counts, not a
+    # second explode of the token stream; feats feeds both consumers from
+    # a localCheckpoint (no subplan CSE in Spark).
     feats = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count("*").alias("cnt")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    ).localCheckpoint()
+    dl = feats.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
     z = (
         feats.join(F.broadcast(wdim), "bucket")
         .join(dl, "doc_id")

@@ -172,9 +172,12 @@ def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # Two consumers (the argmin equality probe and the per-part min) —
+    # materialize once; Spark does not CSE identical subplans, so the lazy
+    # form re-scans lineitem for each consumer (verified in the plan).
     eu_offers = offers.join(
         europe, offers.l_suppkey == europe.s_suppkey
-    )
+    ).localCheckpoint()
     best = eu_offers.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
@@ -509,10 +512,14 @@ def tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
     )
+    # localCheckpoint: the aggregate feeds both the threshold scalar and
+    # the filter probe — without it each consumer re-scans lineitem
+    # (Spark does not CSE identical subplans; verified in the plan).
     val = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_cents(_rev())).alias("value_cents"))
+        .localCheckpoint()
     )
     total = val.agg((F.sum("value_cents") * 0.001).alias("threshold"))
     return (
@@ -604,10 +611,11 @@ def tpch_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q15 shape (top supplier): the classic 'revenue view + "
         "WHERE total = (SELECT max(total) FROM view)' — an equality "
         "against a scalar aggregate of the SAME derived table. Spark "
-        "computes the quarter's per-supplier revenue once, derives the "
-        "1-row max, and crossJoin-broadcasts it back for the equality "
-        "filter; AQE reuses the aggregated exchange rather than "
-        "rescanning lineitem. The equality is on EXACT integer cents — "
+        "computes the quarter's per-supplier revenue ONCE (the view is "
+        "localCheckpointed — Spark does not CSE identical subplans, so "
+        "the lazy form would scan lineitem once per consumer), derives "
+        "the 1-row max, and crossJoin-broadcasts it back for the "
+        "equality filter. The equality is on EXACT integer cents — "
         "an equality filter on a floating-point SUM is the textbook "
         "cross-engine divergence (summation order flips the last ulp "
         "and the argmax set changes); integer cents make 'ties all "
@@ -618,9 +626,12 @@ def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
+    # Materialized once: the revenue view feeds both the max scalar and
+    # the equality probe; lazily it would scan the quarter's lineitem
+    # twice (no subplan CSE in Spark — verified in the plan).
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_cents(_rev())).alias("rev_cents")
-    )
+    ).localCheckpoint()
     mx = rev.agg(F.max("rev_cents").alias("max_cents"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -752,6 +763,7 @@ def tpch_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint()  # two consumers: per-part totals + dominance probe
     )
     totals = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
     dominant = (

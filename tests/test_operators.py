@@ -730,3 +730,54 @@ def test_kmeans_refinement_does_not_increase_objective(spark, sf_dir):
     ssd1 = float((out["mean_dist"] ** 2 * out["n_vecs"]).sum())
     assert out["n_vecs"].sum() == emb.count()  # every vector assigned once
     assert ssd1 <= ssd0 * 1.001, (ssd0, ssd1)
+
+
+def test_temperature_sample_flattens_toward_sqrt_shares(spark, sf_dir):
+    from job_datapipeline_spark.operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    orig = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = temperature_sample(docs, "lang", "doc_id", alpha=0.5, salt="tt")
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # the smallest group is binding: p = sqrt(n_min/n_min) = 1 -> keeps ALL
+    n_min_lang = min(orig, key=orig.get)
+    assert counts[n_min_lang] == orig[n_min_lang]
+    # every other group's expected keep is sqrt(n_min * n_g); realized count
+    # within Bernoulli noise (4 sigma) of it
+    n_min = orig[n_min_lang]
+    for lang, n in orig.items():
+        expect = math.sqrt(n_min * n)
+        assert abs(counts[lang] - expect) <= 4 * math.sqrt(expect) + 1, (
+            lang, counts[lang], expect)
+    # deterministic replay
+    again = temperature_sample(docs, "lang", "doc_id", alpha=0.5, salt="tt")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    # alpha=1 keeps natural proportions: every group keeps everything
+    natural = temperature_sample(docs, "lang", "doc_id", alpha=1.0, salt="tt")
+    assert natural.count() == docs.count()
+
+
+def test_semantic_prune_drops_planted_copies_only_within_cells(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 100)
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    )
+    kept = dedup.semantic_prune(corpus, threshold=0.95)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every planted copy (identical vector, higher id, same cell) is dropped
+    assert not any(i >= 5000 for i in ids), sorted(i for i in ids if i >= 5000)[:5]
+    # every original survives unless it near-dups another original
+    n_base = base.count()
+    assert len(ids) <= n_base
+    assert len(ids) >= n_base - 5  # random 64-dim vectors rarely cos>=0.95
+    # cell column present and consistent with the quantizer's assignment
+    cells = kept.select("cell").distinct().count()
+    assert 1 <= cells <= 8

@@ -384,3 +384,81 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert surviving(str(tmp_path / "xsort"), "y", 100, 150) >= 0.90
     # and z-order still prunes x too (both dims, not a trade)
     assert surviving(str(tmp_path / "zorder"), "x", 100, 150) <= 0.30
+
+
+def test_tpch_q6_predicates_all_pushed(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_revenue_forecast"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(l_shipdate)" in plan
+    # the display truncates long filter lists; match the stable prefix
+    assert "GreaterThanOrEqual(l_shipda" in plan  # the range reaches the scan
+
+
+def test_tpch_top_supplier_materializes_revenue_view_once(spark, sf_dir):
+    # rev feeds both the max scalar and the equality probe; the
+    # localCheckpoint means the final plan holds NO lineitem scan at all
+    # (without it, Spark re-scans the fact once per consumer — no CSE).
+    plan = _plan(REGISTRY["tpch_top_supplier"].fn(spark, sf_dir))
+    assert "lineitem" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_tpch_important_stock_single_fact_scan_and_broadcast_scalar(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_important_stock"].fn(spark, sf_dir))
+    assert "lineitem" not in plan  # value aggregate checkpointed
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold scalar
+
+
+def test_tpch_min_cost_supplier_take_ordered_no_refetch(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_min_cost_supplier"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert "lineitem" not in plan  # offers view checkpointed once
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_supplier_part_counts_anti_join_and_expand(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_supplier_part_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan  # NOT IN with non-null keys -> anti join
+    # single count(DISTINCT): keyed pre-dedup aggregate + partial distinct
+    # count (Expand only appears with MULTIPLE distinct aggs)
+    assert "partial_count(distinct" in plan
+
+
+def test_tpch_sales_opportunity_anti_join_pushes_order_date(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_sales_opportunity"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the dated NOT EXISTS prunes the orders scan before the anti join
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_waiting_suppliers_one_window_no_self_joins(spark, sf_dir):
+    # EXISTS + NOT EXISTS collapse to ONE window pass over l_orderkey —
+    # the plan must contain a Window and no join of ls against itself
+    # (supplier join is the only remaining join beyond the order filter).
+    plan = _plan(REGISTRY["tpch_waiting_suppliers"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("lineitem") <= 1  # the aggregate's single fact scan
+
+
+def test_bm25_single_corpus_pass(spark, sf_dir):
+    # tf is the only aggregate computed from the raw token stream; dl and
+    # df derive from it, so the final plan reads NO documents scan.
+    plan = _plan(REGISTRY["text_bm25_search"].fn(spark, sf_dir))
+    assert "documents" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_one_tokenize_pass(spark, sf_dir):
+    # feats is checkpointed; only the final lang join re-touches documents.
+    plan = _plan(REGISTRY["text_quality_classifier"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet]") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_prune_cell_local_pairs(spark, sf_dir):
+    # assignment materialized once (the write-partitioned-by-cell step);
+    # the pair scan joins it to itself on the cell key — equi-join, never
+    # a cartesian, and no re-derivation from the embeddings table.
+    plan = _plan(REGISTRY["dedup_semantic_prune"].fn(spark, sf_dir))
+    assert "embeddings" not in plan
+    assert "CartesianProduct" not in plan
