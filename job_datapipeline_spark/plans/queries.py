@@ -1329,8 +1329,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path as ONE callable plan, not prose.",
 )
 def dedup_near_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the corpus feeds three stages inside near_dedup (signatures, verify
+    # semi-prune, final anti-join) — materialize the planted frame once
     kept = _D.near_dedup(
-        _planted_corpus(spark, sf_dir),
+        _planted_corpus(spark, sf_dir).localCheckpoint(),
         num_hashes=_NDD_HASHES,
         bands=_NDD_BANDS,
         threshold=0.8,
@@ -2802,7 +2804,8 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"length. Demo corpus bounded to base doc_id < {_CC_CAP}.",
 )
 def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _capped_planted(spark, sf_dir, _CC_CAP)
+    # three consumers (signatures + the id_a/id_b text probes): one pass
+    corpus = _capped_planted(spark, sf_dir, _CC_CAP).localCheckpoint()
     sigs = _D.minhash_signatures(corpus, num_hashes=_NDD_HASHES)
     cands = _D.lsh_candidate_pairs(
         sigs, bands=_NDD_BANDS, rows_per_band=_NDD_RPB
@@ -3640,7 +3643,11 @@ _INC_HIST_CAP = 250  # batch-vs-corpus demo: docs below this are "historical"
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    hist = docs.filter(F.col("doc_id") < _INC_HIST_CAP)
+    # hist feeds four consumers (both plant branches, the exact-dup dim,
+    # the union corpus) and batch three (exact probe, union corpus, final
+    # output) — lazily that is 15 documents scans (measured); materialize
+    # each once. At scale these ARE two distinct stored tables anyway.
+    hist = docs.filter(F.col("doc_id") < _INC_HIST_CAP).localCheckpoint()
     batch = (
         docs.filter(F.col("doc_id") >= _INC_HIST_CAP)
         .unionByName(
@@ -3654,6 +3661,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("text"), F.lit(" zz inc tail")).alias("text"),
             )
         )
+        .localCheckpoint()
     )
     exact_hits = (
         batch.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
