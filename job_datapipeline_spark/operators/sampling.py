@@ -302,6 +302,71 @@ def weighted_sample(
     )
 
 
+def upsample_repeat(
+    df: DataFrame,
+    group_col: str,
+    epochs: dict[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Fractional EPOCH REPETITION — the upsampling half of a data-mixing
+    recipe (mixture/temperature sampling only thin groups down; rare
+    high-value domains get repeated instead: "4 epochs of Wikipedia,
+    0.3 epochs of CommonCrawl").
+
+    ``epochs`` maps group value -> target epoch count w (>= 0; groups not
+    listed are dropped). Every row is emitted ``floor(w)`` times plus one
+    more with probability ``frac(w)``, decided by the same md5(salt:key)
+    draw as :func:`deterministic_sample` — so expected emitted volume is
+    exactly ``w * n_g`` per group and the emitted multiset is
+    bit-replayable by any SQL engine. An ``epoch`` column (0-based copy
+    index) distinguishes repeats so downstream shuffling/packing can
+    spread them across batches.
+
+    Scale shape: a broadcast |groups|-row dim join, then a map-side
+    ``explode(sequence(...))`` — rows fan out locally, nothing shuffles.
+    Repetition multiplies tokens seen, not unique information; pair with
+    a dedup pass if the corpus may already contain copies.
+    """
+    if not epochs:
+        raise ValueError("epochs must be non-empty")
+    for g, w in epochs.items():
+        if w < 0:
+            raise ValueError(f"epoch count must be >= 0 (got {g}={w})")
+    spark = df.sparkSession
+    rows = [
+        (g, int(w), format(min(int((w - int(w)) * 16**8), 16**8 - 1), "08x"))
+        for g, w in sorted(epochs.items())
+    ]
+    wdim = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias(group_col),
+                        F.lit(base).alias("_whole"),
+                        F.lit(thr).alias("_fthr"),
+                    )
+                    for g, base, thr in rows
+                ]
+            )
+        )
+    )
+    draw = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))), 1, 8
+    )
+    n_copies = F.col("_whole") + F.when(draw < F.col("_fthr"), 1).otherwise(0)
+    return (
+        df.join(F.broadcast(wdim), group_col)
+        .withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_whole", "_fthr", "_n_copies")
+    )
+
+
 def split_assign(
     df: DataFrame, key_col: str, bounds: list[tuple[str, float]], salt: str = ""
 ) -> DataFrame:

@@ -365,3 +365,129 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    chunks AS (
+        SELECT doc_id, n,
+               unnest(range(0, 1 + CAST(ceil(greatest(n - {_CHUNK_SIZE}, 0)
+                                             / {_CHUNK_STRIDE}.0) AS BIGINT)))
+                   AS chunk_idx,
+               t
+        FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           len(t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                 chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS n_tokens,
+           substring(md5(array_to_string(
+               t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                 chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')), 1, 16)
+               AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Sliding token-window chunking (size 32, stride 24 — the RAG / "
+        "context-window preparation stage): each document fans out into "
+        "ceil((n-size)/stride)+1 overlapping chunks, entirely map-side "
+        "(tokenize -> explode(sequence) -> slice -> hash; no shuffle, no "
+        "UDF). Chunk identity is a 16-hex md5 of the joined tokens, so "
+        "downstream chunk-level dedup/embedding joins have a stable key "
+        "that any engine reproduces. The final ORDER BY is presentation "
+        "only; at 100 TB the chunk stream feeds the embedding stage "
+        "partitioned however the writer chooses — chunking itself adds "
+        "zero exchanges to the plan.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    t = tokenize(F.col("text"))
+    sized = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n") - _CHUNK_SIZE, F.lit(0)) / float(_CHUNK_STRIDE)
+    ).cast("bigint")
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return (
+        sized.withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_tokens"),
+            F.substring(F.md5(F.array_join(chunk, " ")), 1, 16).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fractional epoch repetition (upsampling)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = {"de": 2.0, "en": 0.5, "es": 1.25, "fr": 1.0, "zh": 3.5}
+
+
+@register(
+    "corpus_upsample_repeat",
+    oracle=f"""
+    WITH w(lang, whole, fthr) AS (VALUES {", ".join(
+        f"('{g}', {int(w)}, '{format(min(int((w - int(w)) * 16**8), 16**8 - 1), '08x')}')"
+        for g, w in sorted(_EPOCHS.items())
+    )}),
+    fanned AS (
+        SELECT d.lang, d.doc_id,
+               w.whole + CASE WHEN substring(md5('up1:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                                   < w.fthr THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w USING (lang)
+    )
+    SELECT lang,
+           count(*) AS n_source_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_emitted,
+           CAST(max(n_copies) AS BIGINT) AS max_epochs
+    FROM fanned
+    WHERE n_copies > 0
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Fractional epoch repetition (operators/sampling.upsample_repeat) "
+        "— the UPSAMPLING half of a data-mixing recipe ('3.5 epochs of "
+        "the rare language, half an epoch of the dominant one'): every "
+        "doc emits floor(w) copies plus one more iff its md5 draw clears "
+        "the frac(w) threshold, so expected volume is exactly w*n per "
+        "group and the emitted multiset replays bit-identically in SQL. "
+        "Map-side fan-out (broadcast dim join + explode(sequence)); the "
+        "epoch column lets packing spread repeats across batches. "
+        "Verified here as per-group emitted totals over the docs that "
+        "emit at least one copy (a w<1 group drops the rest — the "
+        "downsample-by-repetition degenerate case); max_epochs pins the "
+        "ceil(w) bound.",
+)
+def corpus_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import upsample_repeat
+
+    docs = table(spark, sf_dir, "documents")
+    fanned = upsample_repeat(docs, "lang", _EPOCHS, "doc_id", salt="up1")
+    return (
+        fanned.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_source_docs"),
+            F.count("*").alias("n_emitted"),
+            (F.max("epoch") + 1).alias("max_epochs"),
+        )
+        .orderBy("lang")
+    )
