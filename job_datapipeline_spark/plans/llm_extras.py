@@ -491,3 +491,90 @@ def corpus_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level boilerplate dedup (composition: chunking -> exact dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               substring(md5(array_to_string(
+                   t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                     chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')), 1, 16)
+                   AS chunk_hash
+        FROM (SELECT doc_id, n, t,
+                     unnest(range(0, 1 + CAST(ceil(greatest(n - {_CHUNK_SIZE}, 0)
+                                                   / {_CHUNK_STRIDE}.0) AS BIGINT)))
+                         AS chunk_idx
+              FROM sized) x
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_idx,
+               row_number() OVER (PARTITION BY chunk_hash
+                                  ORDER BY doc_id, chunk_idx) > 1 AS is_dup
+        FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS dup_frac
+    FROM flagged
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN is_dup THEN 1 ELSE 0 END) > 0
+    ORDER BY doc_id
+    """,
+    doc="Chunk-level boilerplate removal — the composition of "
+        "text_chunk_overlap with exact keep-first dedup ON THE CHUNK KEY: "
+        "a chunk occurrence is duplicate if the same 16-hex chunk hash "
+        "appears earlier in (doc_id, chunk_idx) order anywhere in the "
+        "corpus (headers, footers, licence blocks — the CCNet-style "
+        "repeated-span removal, at chunk rather than line granularity). "
+        "One window over chunk_hash (the only shuffle beyond the map-side "
+        "chunker), per-doc conditional counts, docs with no duplicate "
+        "chunks filtered out. At 100 TB the hash window becomes a "
+        "groupBy(chunk_hash).min(doc_id, chunk_idx) + join — same "
+        "semantics, partial-aggregatable; the window form is the "
+        "single-pass variant.",
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    t = tokenize(F.col("text"))
+    sized = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n") - _CHUNK_SIZE, F.lit(0)) / float(_CHUNK_STRIDE)
+    ).cast("bigint")
+    chunk = F.slice(F.col("t"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE)
+    chunks = sized.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.substring(F.md5(F.array_join(chunk, " ")), 1, 16).alias("chunk_hash"),
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("is_dup", F.row_number().over(w) > 1)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) * 1.0 / F.count("*"), 4
+            ).alias("dup_frac"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+        .orderBy("doc_id")
+    )

@@ -7413,6 +7413,17 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green in two full judge re-runs — the lowest-risk residue by design.
 # After this round every other registry entry will have a hard driver row
 # (target: >=150/159 cumulative).
+#
+# Round-5 rotation note: the never-certified residue after the r4 gate is
+# exactly the 9 scalar_* twins above plus the 20 queries added during r4
+# (the 13 plans/tpch_full.py shapes, plans/llm_extras.py's text_bm25_search
+# / corpus_temperature_sample / dedup_semantic_prune /
+# text_quality_classifier / text_chunk_overlap / corpus_upsample_repeat,
+# and nothing else) — 29 entries, all green in this round's full local
+# gate-mirror runs at sf0.001/sf0.01/sf0.1 plus six pure-python
+# differential replays (tests/test_differential_round4.py). Rotate all 29
+# into the r5 window, backfilled to 50 with the lowest-signal certified
+# entries.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = (
