@@ -8,6 +8,12 @@ Flags raised:
                               so the reliance stays a decision, not an
                               accident)
 - row-at-a-time Python UDFs  (BatchEvalPython; Arrow stages are fine)
+- repeated fact scans        (the same parquet table scanned >= 3 times in
+                              one plan: Spark does not CSE identical
+                              subplans, so a frame consumed N times
+                              recomputes N times unless localCheckpoint'd
+                              or caught by runtime ReusedExchange — the
+                              round-4 sweep found and fixed seven of these)
 
 Filter pushdown and column pruning are asserted per-query in
 tests/test_scale_shapes.py — a text heuristic here can't tell a
@@ -21,7 +27,9 @@ allowlist in tests/test_scale_shapes.py.
 from __future__ import annotations
 
 import os
+import re
 import sys
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,6 +44,57 @@ KNOWN = {
     "setops_segments": "three set operations = three distinct shuffles each",
     "dedup_near_composed": "repeated candidate subtree collapses via ReusedExchange "
                            "at runtime (see operators/dedup.py near_dedup docstring)",
+    "setops_intersect_except": "INTERSECT/EXCEPT each re-reference both inputs by "
+                               "definition; orders is a narrow 2-col scan",
+    "events_funnel": "one scan per funnel stage of a 3-stage pattern over a "
+                     "pre-filtered event type each — stage scans are disjoint slices",
+    "events_gapfill_hourly": "spine min/max + data side: the 1-row bounds scalar "
+                             "and the rollup legitimately read events separately",
+    "join_salted_hotkeys": "hot-key detection dim + both join branches read "
+                           "disjoint slices of events",
+    "quality_constraint_checks": "each Deequ-style constraint audits its own "
+                                 "column slice of the narrow orders scan",
+    "dedup_embedding_composed": "bucket sides + verify + anti-join over the tiny "
+                                "embeddings dim (500 rows); checkpoint would cost "
+                                "more than the rescans",
+    "embedding_kmeans_refine": "two Lloyd iterations re-read the 500-row dim per "
+                               "assignment step by design",
+    "ann_ivf_topk": "corpus + centroid + query sides of the tiny embeddings dim",
+    "corpus_curation": "funnel stages read disjoint corpus slices",
+    "corpus_mixture_sample": "counts dim + kept filter + plant branch over documents",
+    "corpus_temperature_sample": "counts dim + kept filter over documents",
+    "text_tfidf_top_terms": "tf/idf/corpus-size aggregates share the documents scan "
+                            "via ReusedExchange at runtime",
+    "text_unigram_logprob": "corpus LM + per-doc scoring read the token stream twice",
+    "text_bigram_logprob": "corpus LM + per-doc scoring read the token stream twice",
+    "corpus_decontaminate": "corpus/bench/plant branches are disjoint document slices",
+    "dedup_lsh_candidates": "planted-corpus branches (base/exact/near) are three "
+                            "disjoint scans feeding one checkpointed signature pass",
+    "dedup_cluster_representatives": "planted branches + quality dim",
+    "dedup_components": "planted branches feeding the checkpointed edge frame",
+    "tpch_large_orders": "Q18 shape: the HAVING keep-list aggregate and the "
+                         "output sum aggregate compute different things from "
+                         "lineitem by definition",
+    "agg_sketch_mergeable": "per-group sketches + global union + the exact "
+                            "verification sides each aggregate the narrow scan "
+                            "differently (exact side documented small-scale-only)",
+    "agg_quantile_sketch_mergeable": "KLL sketch sides + exact-median verification "
+                                     "sides (exact side documented small-scale-only)",
+    "graph_pagerank_bipartite": "two power iterations x (contrib agg + rank join) "
+                                "over checkpointed edge/degree frames — exchange "
+                                "count is 2/iteration by design",
+    "python_udtf_regex_spans": "UDTF capability demo; doc names posexplode over "
+                               "regexp_extract_all as the native hot-path twin",
+    "dedup_embedding_pairs": "brute-force verification BASELINE over the 500-row "
+                             "embeddings dim; the scale path is the bucketed "
+                             "composed form",
+    "dedup_incremental_batch": "exact-dup + LSH + verify + two output joins — "
+                               "stages shuffle on different keys; hist/batch "
+                               "frames are checkpointed so none recompute",
+    "text_bm25_search": "tf agg, df agg, dl agg, score agg, rank window — a "
+                        "5-stage linear pipeline over the checkpointed tf frame",
+    "tpch_market_share": "Q8: the widest TPC-H join graph (6 joins + final agg) "
+                         "legitimately exceeds the 8-exchange budget by one",
 }
 
 
@@ -61,6 +120,13 @@ def main() -> int:
         n_ex = plan.count("Exchange")
         if n_ex > EXCHANGE_BUDGET:
             issues.append(f"{n_ex} exchanges")
+        scans = Counter(re.findall(r"file:[^\]]*?/(\w+)\.parquet", plan))
+        rescans = {t: n for t, n in scans.items() if n >= 3}
+        if rescans:
+            issues.append(
+                "repeated scans: "
+                + ", ".join(f"{t}x{n}" for t, n in sorted(rescans.items()))
+            )
         if issues:
             note = f"  [known: {KNOWN[name]}]" if name in KNOWN else ""
             print(f"FLAG {name}: {', '.join(issues)}{note}")
