@@ -217,3 +217,37 @@ def test_quality_classifier_scores_match_pure_python(spark):
         for r in REGISTRY["text_quality_classifier"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_chunk_dedup_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_extras import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    docs = _docs(spark)
+    occurrences = []  # (doc_id, chunk_idx, hash)
+    for d, _, t in sorted(docs):
+        toks = _toks(t)
+        if not t.strip():
+            continue
+        n = len(toks)
+        n_chunks = 1 + max(0, math.ceil((n - _CHUNK_SIZE) / _CHUNK_STRIDE))
+        for i in range(n_chunks):
+            chunk = toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_SIZE]
+            occurrences.append((d, i, _md5(" ".join(chunk))[:16]))
+    first_seen = {}
+    per_doc = defaultdict(lambda: [0, 0])
+    for d, i, h in sorted(occurrences):
+        per_doc[d][0] += 1
+        if h in first_seen:
+            per_doc[d][1] += 1
+        else:
+            first_seen[h] = (d, i)
+    expected = {
+        d: (n, dup, round(dup / n, 4))
+        for d, (n, dup) in per_doc.items()
+        if dup > 0
+    }
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_frac"])
+        for r in REGISTRY["corpus_chunk_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
