@@ -737,3 +737,179 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the round-4 operators as ONE pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pretrain_pipeline",
+    oracle=f"""
+    WITH w(bucket, wgt) AS (VALUES {', '.join(f"({b}, CAST({v} AS DOUBLE))" for b, v in _QC_WEIGHTS)}),
+    base AS (SELECT doc_id, lang, text FROM documents WHERE trim(text) <> ''),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM base
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER) % {_QC_BUCKETS}
+                   AS bucket,
+               count(*) AS cnt
+        FROM toks GROUP BY doc_id, bucket
+    ),
+    dl AS (SELECT doc_id, sum(cnt) AS dl FROM feats GROUP BY doc_id),
+    z AS (
+        SELECT f.doc_id,
+               sum(CAST(round(w.wgt * f.cnt * 1000000.0 / dl.dl) AS BIGINT)) AS micros
+        FROM feats f JOIN w USING (bucket) JOIN dl USING (doc_id)
+        GROUP BY f.doc_id
+    ),
+    kept_docs AS (
+        SELECT b.doc_id, b.lang, b.text
+        FROM base b JOIN z USING (doc_id)
+        WHERE round(1.0 / (1.0 + exp(-(z.micros / 1000000.0 + {_QC_BIAS}))), 4) >= 0.5
+    ),
+    sized AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t,
+                     len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+              FROM kept_docs),
+    chunks AS (
+        SELECT doc_id, lang, chunk_idx,
+               substring(md5(array_to_string(
+                   t[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                     chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')), 1, 16)
+                   AS chunk_hash
+        FROM (SELECT doc_id, lang, n, t,
+                     unnest(range(0, 1 + CAST(ceil(greatest(n - {_CHUNK_SIZE}, 0)
+                                                   / {_CHUNK_STRIDE}.0) AS BIGINT)))
+                         AS chunk_idx
+              FROM sized) x
+    ),
+    uniq AS (
+        SELECT doc_id, lang, chunk_idx FROM (
+            SELECT doc_id, lang, chunk_idx,
+                   row_number() OVER (PARTITION BY chunk_hash
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks) y
+        WHERE rn = 1
+    ),
+    cnt AS (SELECT lang, count(*) AS n FROM uniq GROUP BY lang),
+    mr AS (SELECT min(CAST(n AS DOUBLE) / sqrt(CAST(n AS DOUBLE))) AS m FROM cnt),
+    probs AS (
+        SELECT lang,
+               CASE WHEN p >= 1.0 THEN 'g'
+                    ELSE lower(lpad(to_hex(CAST(floor(p * 4294967296.0) AS BIGINT)), 8, '0'))
+               END AS thr
+        FROM (SELECT cnt.lang,
+                     least(sqrt(CAST(cnt.n AS DOUBLE)) * mr.m / CAST(cnt.n AS DOUBLE),
+                           1.0) AS p
+              FROM cnt, mr) x),
+    sampled AS (
+        SELECT u.lang FROM uniq u JOIN probs p USING (lang)
+        WHERE substring(md5('pp1:' || CAST(u.doc_id AS VARCHAR) || ':' ||
+                            CAST(u.chunk_idx AS VARCHAR)), 1, 8) < p.thr
+    )
+    SELECT stage, n FROM (
+        SELECT 1 AS ord, 'docs_in' AS stage, (SELECT count(*) FROM base) AS n
+        UNION ALL SELECT 2, 'docs_quality_kept', (SELECT count(*) FROM kept_docs)
+        UNION ALL SELECT 3, 'chunks', (SELECT count(*) FROM chunks)
+        UNION ALL SELECT 4, 'chunks_unique', (SELECT count(*) FROM uniq)
+        UNION ALL SELECT 5, 'chunks_sampled', (SELECT count(*) FROM sampled)
+    ) s ORDER BY ord
+    """,
+    doc="The round-4 operators composed as ONE pretraining-data pipeline "
+        "with per-stage observability (the r4 twin of corpus_funnel_"
+        "report): quality-classifier filter (hashed bag-of-words, "
+        "broadcast weights, sigmoid >= 0.5) -> sliding token-window "
+        "chunking -> corpus-wide keep-first chunk dedup -> temperature-"
+        "scaled (alpha=0.5) language rebalancing of the surviving "
+        "chunks, each stage's count emitted from the same declarative "
+        "plan. Every stage is the already-verified operator: the "
+        "composition adds joins, not new math, and the md5 draws key on "
+        "(doc, chunk) so the sampled multiset replays exactly. Shuffle "
+        "ledger: classifier feature agg + doclen reuse one checkpointed "
+        "frame, the chunker is map-side, dedup is one window on "
+        "chunk_hash, sampling is a broadcast-dim filter — four wide "
+        "exchanges for a five-stage pipeline.",
+)
+def corpus_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    docs = docs.select("doc_id", "lang", "text").localCheckpoint()
+    wdim = literal_dim(spark, _QC_WEIGHTS, "bucket int, wgt double")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+        % _QC_BUCKETS
+    )
+    feats = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint()
+    dl = feats.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    z = (
+        feats.join(F.broadcast(wdim), "bucket")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("wgt") * F.col("cnt") * 1000000.0 / F.col("dl")).cast(
+                    "bigint"
+                )
+            ).alias("micros")
+        )
+    )
+    score = F.round(
+        1.0 / (1.0 + F.exp(-(F.col("micros") / 1000000.0 + F.lit(_QC_BIAS)))), 4
+    )
+    kept_docs = (
+        docs.join(z, "doc_id").filter(score >= 0.5).select("doc_id", "lang", "text")
+    ).localCheckpoint()
+    t = tokenize(F.col("text"))
+    sized = kept_docs.select("doc_id", "lang", t.alias("t"), F.size(t).alias("n"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n") - _CHUNK_SIZE, F.lit(0)) / float(_CHUNK_STRIDE)
+    ).cast("bigint")
+    chunk = F.slice(F.col("t"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE)
+    chunks = sized.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    ).select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        F.substring(F.md5(F.array_join(chunk, " ")), 1, 16).alias("chunk_hash"),
+    ).localCheckpoint()
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    uniq = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "chunk_idx")
+        .localCheckpoint()
+    )
+    sampled = temperature_sample(
+        uniq.withColumn(
+            "ck",
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+            ),
+        ),
+        "lang",
+        "ck",
+        alpha=0.5,
+        salt="pp1",
+    )
+
+    def stage(ord_, name, df):
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(ord_).alias("_ord"), F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage(1, "docs_in", docs)
+        .unionByName(stage(2, "docs_quality_kept", kept_docs))
+        .unionByName(stage(3, "chunks", chunks))
+        .unionByName(stage(4, "chunks_unique", uniq))
+        .unionByName(stage(5, "chunks_sampled", sampled))
+        .orderBy("_ord")
+        .drop("_ord")
+    )
