@@ -7414,73 +7414,70 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After this round every other registry entry will have a hard driver row
 # (target: >=150/159 cumulative).
 #
-# Round-5 rotation note: the never-certified residue after the r4 gate is
-# exactly the 9 scalar_* twins above plus the 20 queries added during r4
-# (the 13 plans/tpch_full.py shapes, plans/llm_extras.py's text_bm25_search
-# / corpus_temperature_sample / dedup_semantic_prune /
-# text_quality_classifier / text_chunk_overlap / corpus_upsample_repeat,
-# and nothing else) — 29 entries, all green in this round's full local
-# gate-mirror runs at sf0.001/sf0.01/sf0.1 plus six pure-python
-# differential replays (tests/test_differential_round4.py). Rotate all 29
-# into the r5 window, backfilled to 50 with the lowest-signal certified
-# entries.
+# Round-5 rotation (this window): after r4's gate the never-certified
+# residue is exactly 33 entries — text_token_regex, the 9 scalar_* twins,
+# the 10 r4 llm_extras recipes, and the 13 plans/tpch_full.py shapes. All
+# 33 lead this window (every one is green in the judge's full 183-query
+# sf0.01 re-run and the local gate mirror), so a green CORRECTNESS_r05
+# makes cumulative hard-driver coverage 183/183 — every registry entry
+# certified at least once. Backfill to 50 uses once-certified (r1) cheap
+# relational shapes. Queries added during r5 displace backfill slots so
+# new surface always meets the hard gate in its birth round.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = (
-    # sink_roundtrip_kv (new in r4) takes the slot text_token_regex would
-    # have had — that one is a pure-expression query, green in two full
-    # judge re-runs, the lowest-risk leftover; S14's KV sink had no
-    # CORRECTNESS row at all until now.
-    "sink_roundtrip_kv",
-    "scrape_url_worklist",
-    "sink_roundtrip_csv",
-    "setops_intersect_except",
-    "tpch_shipping_priority",
-    "tpch_promo_share",
-    "tpch_large_orders",
-    "subquery_exists_high_value",
-    "subquery_scalar_above_avg",
-    "window_ntile_quartiles",
-    "text_gopher_rules",
-    "agg_multi_distinct",
-    "window_first_last_nth",
-    "csv_corrupt_records",
-    "agg_sketch_mergeable",
-    "agg_quantile_sketch_mergeable",
-    "pivot_multi_agg",
-    "text_first_occurrence",
-    "parquet_schema_evolution",
-    "tpch_disjunctive_filter",
-    "tpch_small_quantity_revenue",
-    "quality_constraint_checks",
-    "rollup_incremental_merge",
-    "events_scd2_islands",
-    "agg_stats_suite",
-    "graph_pagerank_bipartite",
-    "multimodal_video_frames",
-    "events_sliding_windows",
-    "events_anomaly_zscore",
-    "join_null_safe_eq",
-    "agg_bool_countif",
-    "agg_decimal_exact",
-    "xml_feed_parse",
-    "agg_string_concat_groups",
-    "python_datasource_scan",
-    "tpch_customer_distribution",
-    "python_udtf_regex_spans",
-    "python_datasource_write_roundtrip",
-    "multimodal_image_resize",
-    "observe_audit_metrics",
-    "streaming_static_enrich",
-    "streaming_foreachbatch_upsert",
-    "tpch_order_priority_check",
-    "window_ratio_to_report",
-    "text_token_entropy",
-    "agg_robust_mad",
-    "events_windowed_topk",
-    "agg_bitmap_distinct",
-    "events_sessionize_dynamic_gap",
-    "join_lateral_topn",
+    # -- the 33 never-driver-certified entries (see rotation note) --
+    "text_token_regex",
+    "scalar_array_ops",
+    "scalar_map_ops",
+    "scalar_struct_ops",
+    "scalar_date_arith",
+    "scalar_explode_outer",
+    "scalar_variant_ops",
+    "scalar_try_arithmetic",
+    "scalar_collation_group",
+    "scalar_url_ops",
+    "text_bm25_search",
+    "corpus_temperature_sample",
+    "dedup_semantic_prune",
+    "text_quality_classifier",
+    "text_chunk_overlap",
+    "corpus_upsample_repeat",
+    "corpus_chunk_dedup",
+    "agg_theta_sketch_setops",
+    "agg_heavy_hitters",
+    "corpus_pretrain_pipeline",
+    "tpch_revenue_forecast",
+    "tpch_min_cost_supplier",
+    "tpch_nation_volume",
+    "tpch_market_share",
+    "tpch_product_profit",
+    "tpch_returned_items",
+    "tpch_important_stock",
+    "tpch_late_shipment_priority",
+    "tpch_top_supplier",
+    "tpch_supplier_part_counts",
+    "tpch_promotion_parts",
+    "tpch_waiting_suppliers",
+    "tpch_sales_opportunity",
+    # -- backfill to 50: once-certified (r1), cheapest relational shapes --
+    "scalar_string_ops",
+    "scalar_date_ops",
+    "scalar_json_props",
+    "scalar_case_null",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_rank_family",
+    "window_running_total",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_unpivot_metrics",
+    "setops_segments",
+    "orderby_limit_top_parts",
 )
 
 
