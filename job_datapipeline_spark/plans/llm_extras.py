@@ -607,12 +607,14 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Theta sketches (Spark 4 theta_sketch_agg / theta_intersection / "
         "theta_difference / theta_union): DISTINCT-COUNT STATE THAT "
         "SUPPORTS SET ALGEBRA — the capability HLL lacks (HLL unions but "
-        "cannot intersect). Per-event-type sketches of user-day keys are "
-        "built in one grouped pass; intersection (\'user-days with BOTH a "
-        "view and a click\'), difference and union cardinalities come from "
-        "sketch algebra, verified IN-PLAN against exact distinct-join "
-        "counts (computed as 1-row aggregates crossJoined in — nothing "
-        "reaches the driver) with a 5% tolerance. At the default lgK=12 "
+        "cannot intersect). Sketches are duplicate-insensitive, so both "
+        "per-event-type sketches AND the four exact verification counts "
+        "come from a single groupBy(user_day)-then-scalar-agg pass (2 "
+        "exchanges; CASE WHEN routes keys into their sketch, count_if "
+        "over membership flags gives exact cardinalities — nothing "
+        "reaches the driver). Intersection (\'user-days with BOTH a view "
+        "and a click\'), difference and union estimates are verified "
+        "IN-PLAN with a 5% tolerance. At the default lgK=12 "
         "the sketch is exact below 4096 retained keys, so at gate scale "
         "the verdicts pin exact agreement. At 100 TB the per-segment "
         "sketch table is the precomputed state: any cross-segment overlap "
@@ -629,34 +631,35 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string"),
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("string"),
     )
-    ud = ev.select("event_type", user_day.alias("user_day")).localCheckpoint()
-    vd = ud.filter(F.col("event_type") == "view").select("user_day").distinct()
-    cd = ud.filter(F.col("event_type") == "click").select("user_day").distinct()
-    sk_v = vd.agg(
-        F.expr("theta_sketch_agg(user_day)").alias("sk_v"),
-        F.count("*").alias("n_view"),
+    ud = ev.select("event_type", user_day.alias("user_day"))
+    # Theta sketches are DUPLICATE-INSENSITIVE (KMV hashing retains each
+    # distinct key once), so no pre-distinct is needed: one groupBy(key)
+    # derives per-key membership flags, and one scalar aggregate computes
+    # all four exact set cardinalities AND both sketches in the same pass
+    # (CASE WHEN routes each key into its sketch; aggregates skip NULLs).
+    # 2 exchanges total — the r4 two-distinct + join + anti-join form cost
+    # 9 even with checkpoints. At 100 TB the flags frame is the
+    # per-segment distinct-key staging table the sketch state is built
+    # from anyway, and the verification aggregate is map-combinable.
+    flags = ud.groupBy("user_day").agg(
+        (F.count_if(F.col("event_type") == "view") > 0).alias("in_v"),
+        (F.count_if(F.col("event_type") == "click") > 0).alias("in_c"),
     )
-    sk_c = cd.agg(
-        F.expr("theta_sketch_agg(user_day)").alias("sk_c"),
-        F.count("*").alias("n_click"),
-    )
-    both = vd.join(cd, "user_day").agg(F.count("*").alias("n_both"))
-    vonly = vd.join(cd, "user_day", "left_anti").agg(F.count("*").alias("n_view_only"))
-    est = (
-        sk_v.crossJoin(F.broadcast(sk_c))
-        .crossJoin(F.broadcast(both))
-        .crossJoin(F.broadcast(vonly))
-        .select(
-            "n_view",
-            "n_click",
-            "n_both",
-            "n_view_only",
-            F.expr("theta_sketch_estimate(theta_union(sk_v, sk_c))").alias("_eu"),
-            F.expr("theta_sketch_estimate(theta_intersection(sk_v, sk_c))").alias(
-                "_ei"
-            ),
-            F.expr("theta_sketch_estimate(theta_difference(sk_v, sk_c))").alias("_ed"),
-        )
+    est = flags.agg(
+        F.count_if(F.col("in_v")).alias("n_view"),
+        F.count_if(F.col("in_c")).alias("n_click"),
+        F.count_if(F.col("in_v") & F.col("in_c")).alias("n_both"),
+        F.count_if(F.col("in_v") & ~F.col("in_c")).alias("n_view_only"),
+        F.expr("theta_sketch_agg(CASE WHEN in_v THEN user_day END)").alias("sk_v"),
+        F.expr("theta_sketch_agg(CASE WHEN in_c THEN user_day END)").alias("sk_c"),
+    ).select(
+        "n_view",
+        "n_click",
+        "n_both",
+        "n_view_only",
+        F.expr("theta_sketch_estimate(theta_union(sk_v, sk_c))").alias("_eu"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_v, sk_c))").alias("_ei"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_v, sk_c))").alias("_ed"),
     )
     def ok(e, x):
         return F.abs(e - x) <= 0.05 * F.greatest(x, F.lit(1))

@@ -3700,6 +3700,100 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_state_roundtrip",
+    oracle=f"""
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < {_INC_HIST_CAP}),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= {_INC_HIST_CAP}
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM hist WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id, text || ' zz inc tail' AS text
+        FROM hist WHERE doc_id % 11 = 0
+    ),
+    corpus AS (SELECT * FROM hist UNION ALL SELECT * FROM batch),
+    {_sql_shingles('corpus')}, {_SQL_SIG}, {_SQL_BANDED_CAND},
+    cross_cand AS (
+        SELECT id_a, id_b FROM cand
+        WHERE id_a < {_INC_HIST_CAP} AND id_b >= {_INC_HIST_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cinter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cross_cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+    FROM cinter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) >= 0.8
+    """,
+    doc="Persistent dedup-state round trip — the 100 TB incremental "
+        "pattern dedup_incremental_batch documents, now actually executed "
+        "against stored state: RUN 1 computes the historical corpus's "
+        "MinHash band index ONCE and writes it to parquet partitioned by "
+        "band (operators/dedup.band_table); RUN 2 computes signatures for "
+        "ONLY the new batch, probes the persisted index via an asymmetric "
+        "band join (operators/dedup.lsh_join_state — no corpus re-shingle, "
+        "no self-join), Jaccard-verifies the colliding pairs, and appends "
+        "the batch's own index rows so run 3 sees hist+batch. The oracle "
+        "computes the same cross pairs ONE-SHOT from raw text, so a green "
+        "row proves the two-run composition over persisted state equals "
+        "the single-pass result — signatures survive the parquet round "
+        "trip losslessly. Planted re-arrivals (every 7th hist doc "
+        "verbatim, every 11th with a tail edit) guarantee hits.",
+)
+def dedup_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < _INC_HIST_CAP).localCheckpoint()
+    batch = (
+        docs.filter(F.col("doc_id") >= _INC_HIST_CAP)
+        .unionByName(
+            hist.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            hist.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz inc tail")).alias("text"),
+            )
+        )
+        .localCheckpoint()
+    )
+    state_path = _os_path.join(_scratch_dir("dedup_state_roundtrip"), "band_state")
+
+    # RUN 1 (corpus ingest): build and persist the band index. Partitioned
+    # by band so a probe scans only matching band partitions; at 100 TB
+    # this write happens once per corpus, not once per batch.
+    _D.band_table(
+        _D.minhash_signatures(hist, num_hashes=_NDD_HASHES), rows_per_band=_NDD_RPB
+    ).write.mode("overwrite").partitionBy("band").parquet(state_path)
+
+    # RUN 2 (batch arrival): fresh lineage — the ONLY link to run 1 is the
+    # parquet state table. Only the batch is shingled/hashed here.
+    state = spark.read.parquet(state_path)
+    batch_bands = _D.band_table(
+        _D.minhash_signatures(batch, num_hashes=_NDD_HASHES), rows_per_band=_NDD_RPB
+    ).localCheckpoint()
+    # Materialized so the probe result is pinned BEFORE the append below —
+    # a lazy cand would re-list the state directory at execution time and
+    # could see the batch's own rows.
+    cand = _D.lsh_join_state(state, batch_bands).localCheckpoint()
+    verified = _D.jaccard_verify(hist.unionByName(batch), cand).filter(
+        F.col("jaccard") >= 0.8
+    )
+    # Append the batch's index rows: state now covers hist+batch, so the
+    # next batch probes both without any recomputation.
+    batch_bands.write.mode("append").partitionBy("band").parquet(state_path)
+    return verified
+
+
+@register(
     "dedup_cluster_representatives",
     oracle=f"""
     WITH RECURSIVE {_sql_capped_corpus(_CC_CAP)}, {_sql_shingles('corpus')},
@@ -7460,6 +7554,12 @@ _DRIVER_WINDOW_FIRST = (
     "tpch_promotion_parts",
     "tpch_waiting_suppliers",
     "tpch_sales_opportunity",
+    # -- new in round 5 (never certified by definition) --
+    "dedup_state_roundtrip",
+    "corpus_domain_cap",
+    "tokenizer_bpe_pairs",
+    "corpus_dsir_importance",
+    "corpus_mix_budget",
     # -- backfill to 50: once-certified (r1), cheapest relational shapes --
     "scalar_string_ops",
     "scalar_date_ops",
@@ -7473,11 +7573,6 @@ _DRIVER_WINDOW_FIRST = (
     "agg_histogram",
     "agg_percentiles",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_unpivot_metrics",
-    "setops_segments",
-    "orderby_limit_top_parts",
 )
 
 
@@ -7496,5 +7591,6 @@ def _reorder_registry() -> None:
 
 from . import llm_extras  # noqa: E402,F401  (BM25 / temperature sampling / SemDeDup)
 from . import tpch_full  # noqa: E402,F401  (registers the 13 remaining TPC-H shapes)
+from . import llm_round5  # noqa: E402,F401  (domain cap / BPE pairs / DSIR / mix budget)
 
 _reorder_registry()

@@ -1,0 +1,253 @@
+"""Round-5 additions: persistent dedup state, domain caps, BPE pair
+counting, DSIR importance, token-budget mixture allocation.
+
+Each registry query gets a pure-python differential replay (a third
+engine besides Spark and the DuckDB oracle) over sf0.001, plus unit
+tests for the new dedup state primitives (band_table / lsh_join_state).
+"""
+
+from __future__ import annotations
+
+import getpass
+import hashlib
+import math
+import os
+import tempfile
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.catalog import table
+from job_datapipeline_spark.operators import dedup as D
+from job_datapipeline_spark.plans.queries import (
+    REGISTRY,
+    _INC_HIST_CAP,
+    _NDD_BANDS,
+    _NDD_HASHES,
+    _NDD_RPB,
+)
+
+from conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return [
+        (r["doc_id"], r["lang"], r["source"], r["n_chars"], r["text"])
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    ]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _round_half_away(x: float) -> int:
+    """Spark/DuckDB round(): half away from zero (python round() is
+    banker's and would diverge on exact .5)."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+# ---------------------------------------------------------------------------
+# corpus_domain_cap
+# ---------------------------------------------------------------------------
+
+def test_domain_cap_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _DOMCAP_K
+
+    docs = _docs(spark)
+    by_source: dict[str, list] = {}
+    for doc_id, _, source, n_chars, _t in docs:
+        by_source.setdefault(source, []).append((doc_id, n_chars))
+    expected = set()
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (doc_id, n_chars) in enumerate(rows[:_DOMCAP_K], start=1):
+            expected.add((source, doc_id, n_chars, rank))
+    got = {
+        (r["source"], r["doc_id"], r["n_chars"], r["rank"])
+        for r in REGISTRY["corpus_domain_cap"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bpe_pairs
+# ---------------------------------------------------------------------------
+
+def test_bpe_pairs_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _BPE_TOPK
+
+    counts: Counter[str] = Counter()
+    for _, lang, _s, _n, text in _docs(spark):
+        if lang != "en":
+            continue
+        for w in text.strip().lower().split():
+            if len(w) < 2:
+                continue
+            counts.update(w[i : i + 2] for i in range(len(w) - 1))
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOPK]
+    got = [
+        (r["pair"], r["cnt"])
+        for r in REGISTRY["tokenizer_bpe_pairs"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# corpus_dsir_importance
+# ---------------------------------------------------------------------------
+
+def test_dsir_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _DSIR_BUCKETS
+
+    docs = _docs(spark)
+    doc_buckets: dict[int, list[int]] = {}
+    c_r: Counter[int] = Counter()
+    c_t: Counter[int] = Counter()
+    for doc_id, lang, _s, _n, text in docs:
+        toks = text.strip().lower().split()
+        buckets = [int(_md5(t)[:15], 16) % _DSIR_BUCKETS for t in toks]
+        if buckets:
+            doc_buckets[doc_id] = buckets
+        c_r.update(buckets)
+        if lang == "en":
+            c_t.update(buckets)
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    term = {
+        b: _round_half_away(
+            math.log(
+                ((c_t[b] + 1) * (n_r + _DSIR_BUCKETS))
+                / ((c_r[b] + 1) * (n_t + _DSIR_BUCKETS))
+            )
+            * 1_000_000
+        )
+        for b in c_r
+    }
+    expected = {
+        doc_id: (len(bs), sum(term[b] for b in bs))
+        for doc_id, bs in doc_buckets.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_toks"], r["score_micro"])
+        for r in REGISTRY["corpus_dsir_importance"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_budget
+# ---------------------------------------------------------------------------
+
+def test_mix_budget_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import (
+        _MIX_BUDGET_SHARE_PCT,
+        _MIX_SALT,
+        _MIX_WEIGHTS_PM,
+    )
+
+    docs = _docs(spark)
+    ntok = {d: len(t.strip().lower().split()) for d, _l, _s, _n, t in docs}
+    lang_of = {d: lang for d, lang, _s, _n, _t in docs}
+    avail_tokens: Counter[str] = Counter()
+    avail_docs: Counter[str] = Counter()
+    for d in ntok:
+        avail_tokens[lang_of[d]] += ntok[d]
+        avail_docs[lang_of[d]] += 1
+    total = sum(avail_tokens.values())
+    expected = {}
+    for lang, a in avail_tokens.items():
+        rate = min(
+            1_000_000, (total * _MIX_BUDGET_SHARE_PCT * _MIX_WEIGHTS_PM[lang]) // (100 * a)
+        )
+        s_docs = s_toks = 0
+        for d in ntok:
+            if lang_of[d] != lang:
+                continue
+            draw16 = int(_md5(f"{_MIX_SALT}:{d}")[:4], 16)
+            if draw16 * 1_000_000 < rate * 65536:
+                s_docs += 1
+                s_toks += ntok[d]
+        expected[lang] = (avail_docs[lang], a, _MIX_WEIGHTS_PM[lang], rate, s_docs, s_toks)
+    got = {
+        r["lang"]: (
+            r["avail_docs"],
+            r["avail_tokens"],
+            r["weight_pm"],
+            r["rate_micro"],
+            r["sampled_docs"],
+            r["sampled_tokens"],
+        )
+        for r in REGISTRY["corpus_mix_budget"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# dedup state primitives + the persisted round trip
+# ---------------------------------------------------------------------------
+
+def test_lsh_join_state_equals_cross_restricted_self_join(spark):
+    """Probing batch bands against state bands must yield exactly the
+    cross (state-id, batch-id) subset of the symmetric self-join over the
+    union — the invariant that makes incremental dedup equal one-shot."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 30)
+    batch = hist.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    hist_bands = D.band_table(
+        D.minhash_signatures(hist, num_hashes=_NDD_HASHES), rows_per_band=_NDD_RPB
+    )
+    batch_bands = D.band_table(
+        D.minhash_signatures(batch, num_hashes=_NDD_HASHES), rows_per_band=_NDD_RPB
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_join_state(hist_bands, batch_bands).collect()
+    }
+    sym = D.lsh_candidate_pairs(
+        D.minhash_signatures(hist.unionByName(batch), num_hashes=_NDD_HASHES),
+        bands=_NDD_BANDS,
+        rows_per_band=_NDD_RPB,
+    )
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in sym.filter((F.col("id_a") < 1000) & (F.col("id_b") >= 1000)).collect()
+    }
+    assert got == expected
+    # identical text must collide on every band: (d, d+1000) for all docs
+    base_ids = {r["doc_id"] for r in hist.collect()}
+    assert {(d, d + 1000) for d in base_ids} <= got
+
+
+def test_state_roundtrip_appends_batch_to_state(spark):
+    """After the query runs, the persisted band index must cover BOTH
+    runs (hist + planted batch), each doc with one row per band — run 3
+    could probe it without touching run-1 or run-2 text."""
+    result = REGISTRY["dedup_state_roundtrip"].fn(spark, SF_SMOKE)
+    n_pairs = result.count()  # forces the plan, including both writes
+    assert n_pairs > 0
+    state_path = os.path.join(
+        tempfile.gettempdir(),
+        f"jdp_scratch_{getpass.getuser()}",
+        "dedup_state_roundtrip",
+        "band_state",
+    )
+    state = spark.read.parquet(state_path)
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    hist_ids = {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") < _INC_HIST_CAP).collect()
+    }
+    batch_ids = {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") >= _INC_HIST_CAP).collect()
+    }
+    batch_ids |= {d + 10000 for d in hist_ids if d % 7 == 0}
+    batch_ids |= {d + 20000 for d in hist_ids if d % 11 == 0}
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in state.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_doc) == hist_ids | batch_ids
+    assert set(per_doc.values()) == {_NDD_BANDS}
+    # verified pairs are hist-x-batch only, at/above the 0.8 threshold
+    rows = result.collect()
+    assert all(r["id_a"] in hist_ids and r["id_b"] in batch_ids for r in rows)
+    assert all(r["jaccard"] >= 0.8 for r in rows)

@@ -95,6 +95,11 @@ KNOWN = {
                         "5-stage linear pipeline over the checkpointed tf frame",
     "tpch_market_share": "Q8: the widest TPC-H join graph (6 joins + final agg) "
                          "legitimately exceeds the 8-exchange budget by one",
+    "corpus_pretrain_pipeline": "5-stage composition (classifier agg, chunking, "
+                                "chunk-dedup window, temperature-sample agg, "
+                                "report union) — each wide stage shuffles once "
+                                "over its checkpointed input; 10 exchanges IS "
+                                "the documented four-wide-stages + report shape",
 }
 
 
