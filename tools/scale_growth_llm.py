@@ -147,6 +147,12 @@ def measure(spark, n_docs: int) -> dict:
             ("corpus_chunk_dedup", "chunk_dedup_window"),
             ("text_bm25_search", "bm25"),
             ("text_quality_classifier", "classifier"),
+            # the r4 flagship composition (classifier -> chunk -> chunk-dedup
+            # -> temperature-sample); VERDICT r4 item 8 asks for its >sf0.1
+            # datapoint, and documents scaling belongs HERE, not in
+            # tools/scale_ladder.py (naive replication would plant quadratic
+            # near-dup clusters and measure the generator, not the plan).
+            ("corpus_pretrain_pipeline", "pretrain_pipeline"),
         ]:
             sec, rows = _timed(lambda n=name: REGISTRY[n].fn(spark, sf_dir).count())
             out[f"{key}_sec"], out[f"{key}_rows"] = sec, rows
