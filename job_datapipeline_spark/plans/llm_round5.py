@@ -378,3 +378,502 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sampled_tokens", F.lit(0)).cast("bigint").alias("sampled_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest over persistent LSH state
+# ---------------------------------------------------------------------------
+
+from .queries import (  # noqa: E402
+    _NDD_HASHES,
+    _NDD_RPB,
+    _SQL_BANDED_CAND,
+    _SQL_CORPUS,
+    _SQL_SIG,
+    _scratch_dir,
+    _sql_shingles,
+    _stream_state_partitions,
+)
+from ..operators import dedup as _D  # noqa: E402
+
+
+@register(
+    "streaming_dedup_state_ingest",
+    oracle=f"""
+    WITH {_SQL_CORPUS}, {_sql_shingles('corpus')}, {_SQL_SIG}, {_SQL_BANDED_CAND}
+    SELECT id_a, id_b FROM cand
+    """,
+    doc="Ingest-time near-dup detection over PERSISTENT LSH state — the "
+        "production composition of dedup_state_roundtrip with Structured "
+        "Streaming: the planted corpus (base + exact copy + near copy per "
+        "doc, the _SQL_CORPUS convention) arrives as 3 hash-split files, "
+        "a real AvailableNow file-source stream processes one file per "
+        "micro-batch (maxFilesPerTrigger=1), and each foreachBatch (a) "
+        "MinHash-bands ONLY its own batch, (b) self-joins those bands for "
+        "within-batch pairs, (c) probes the parquet band index persisted "
+        "by PRIOR batches (operators/dedup.lsh_join_state — corpus text "
+        "is never re-read), (d) appends candidate pairs to a result sink "
+        "normalized to (least, greatest), and (e) appends its own bands "
+        "to the state index. Because every pair is found exactly once — "
+        "within its batch, or when the later doc's batch probes state — "
+        "the accumulated result equals the ONE-SHOT symmetric "
+        "lsh_candidate_pairs the oracle replays, independent of batch "
+        "arrival order. At 100 TB this is the daily-crawl dedup shape: "
+        "state grows by one band row per (new doc, band), probe cost is "
+        "O(batch), and the band-partitioned index prunes probe scans.",
+)
+def streaming_dedup_state_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
+            )
+        )
+    )
+    root = _scratch_dir("stream_dedup_ingest")
+    src = _os.path.join(root, "src")
+    state = _os.path.join(root, "band_state")
+    result = _os.path.join(root, "pairs")
+    ckpt = _os.path.join(root, "ckpt")
+    # hash-split into 3 arrival files so planted pairs land both within
+    # and across micro-batches (base/copy ids differ by 1e5 -> different
+    # md5 split keys; ~1/3 of pairs co-arrive).
+    split = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(3),
+    )
+    staged = corpus.withColumn("_split", split).localCheckpoint()
+    for k in range(3):
+        staged.filter(F.col("_split") == k).drop("_split").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        bands = _D.band_table(
+            _D.minhash_signatures(batch_df, num_hashes=_NDD_HASHES),
+            rows_per_band=_NDD_RPB,
+        ).localCheckpoint()  # feeds self-join, state probe, and the state append
+        a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
+        b = bands.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
+        pairs = (
+            a.join(b, ["band", "band_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        if _os.path.isdir(state):
+            cross = _D.lsh_join_state(batch_df.sparkSession.read.parquet(state), bands)
+            pairs = pairs.unionByName(
+                cross.select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                )
+            ).distinct()
+        pairs.write.mode("append").parquet(result)
+        bands.write.mode("append").partitionBy("band").parquet(state)
+
+    stream = (
+        spark.readStream.schema(staged.drop("_split").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(ingest)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(result).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN with exact rerank
+# ---------------------------------------------------------------------------
+
+_SQ8_NQ = 5        # query vectors: vec_id < 5
+_SQ8_CAND = 20     # quantized candidates per query fed to the exact rerank
+_SQ8_TOPK = 5
+
+
+@register(
+    "ann_sq8_rerank",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    dim AS (
+        SELECT pos, min(v) AS lo, max(v) AS hi FROM e GROUP BY pos
+    ),
+    codes AS (
+        SELECT e.vec_id, e.pos,
+               CASE WHEN dim.hi = dim.lo THEN 0
+                    ELSE CAST(floor((CAST(e.v AS DOUBLE) - CAST(dim.lo AS DOUBLE))
+                              * 255.0 / (CAST(dim.hi AS DOUBLE) - CAST(dim.lo AS DOUBLE)))
+                         AS BIGINT)
+               END AS code
+        FROM e JOIN dim ON dim.pos = e.pos
+    ),
+    qc AS (SELECT vec_id AS q_id, pos, code FROM codes WHERE vec_id < {_SQ8_NQ}),
+    approx AS (
+        SELECT qc.q_id, c.vec_id, sum((c.code - 128) * (qc.code - 128)) AS adot
+        FROM codes c JOIN qc ON qc.pos = c.pos AND c.vec_id != qc.q_id
+        GROUP BY qc.q_id, c.vec_id
+    ),
+    cand AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adot DESC, vec_id) AS r
+            FROM approx) x
+        WHERE r <= {_SQ8_CAND}
+    ),
+    exact AS (
+        SELECT cand.q_id, cand.vec_id,
+               round(list_dot_product(e2.embedding, q2.embedding) /
+                     (sqrt(list_dot_product(e2.embedding, e2.embedding)) *
+                      sqrt(list_dot_product(q2.embedding, q2.embedding))), 4) AS cos
+        FROM cand
+        JOIN embeddings e2 ON e2.vec_id = cand.vec_id
+        JOIN embeddings q2 ON q2.vec_id = cand.q_id
+    ),
+    rer AS (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM exact
+    ),
+    brute AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, e3.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(e3.embedding, q.embedding) /
+                                (sqrt(list_dot_product(e3.embedding, e3.embedding)) *
+                                 sqrt(list_dot_product(q.embedding, q.embedding))) DESC,
+                                e3.vec_id) AS r
+            FROM embeddings e3 CROSS JOIN embeddings q
+            WHERE q.vec_id < {_SQ8_NQ} AND e3.vec_id != q.vec_id) x
+        WHERE r <= {_SQ8_TOPK}
+    )
+    SELECT rer.q_id, rer.vec_id, rer.cos, rer.rank,
+           (brute.vec_id IS NOT NULL) AS in_exact_topk
+    FROM rer LEFT JOIN brute
+      ON brute.q_id = rer.q_id AND brute.vec_id = rer.vec_id
+    WHERE rer.rank <= {_SQ8_TOPK}
+    """,
+    doc="Scalar-quantized (SQ8, faiss-style) ANN with exact rerank: each "
+        "dimension is linearly quantized to an 8-bit code against the "
+        "corpus per-dimension min/max, candidate generation scores "
+        "INTEGER dot products of CENTERED codes ((c-128), cancelling the "
+        "affine shift so the integer score tracks the true inner product "
+        "of these unit-norm embeddings == cosine; uncentered codes rank "
+        "by Sum(v_d)+const and recall collapses — measured 4% vs 100%). "
+        "Exact bigint sums are bit-identical on any engine; the top "
+        f"{_SQ8_CAND} per query are reranked by "
+        f"exact cosine, and the final top {_SQ8_TOPK} carry an in-plan "
+        "recall flag against the brute-force exact top-k. The one float "
+        "step (floor of the affine code map) is double-precision IEEE on "
+        "both engines. 100 TB shape: the codes table is 4-16x smaller "
+        "than the float corpus and the integer dot is SIMD-friendly; "
+        "candidate generation reads ONLY codes (one narrow shuffle per "
+        "query batch), the float vectors are touched for "
+        f"{_SQ8_CAND} rows per query in the rerank — the standard "
+        "quantize-then-rerank recall/cost trade, here measured by the "
+        "recall flag itself.",
+)
+def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # (vec_id, pos, v) exploded once; feeds dim stats AND code assembly
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v").localCheckpoint()
+    dim = e.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    codes = (
+        e.join(F.broadcast(dim), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    (F.col("v").cast("double") - F.col("lo").cast("double"))
+                    * 255.0
+                    / (F.col("hi").cast("double") - F.col("lo").cast("double"))
+                ).cast("bigint")
+            )
+            .alias("code"),
+        )
+        .localCheckpoint()  # feeds the query-side slice and the corpus side
+    )
+    qc = codes.filter(F.col("vec_id") < _SQ8_NQ).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("code").alias("qcode")
+    )
+    approx = (
+        codes.join(F.broadcast(qc), ["pos"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum((F.col("code") - 128) * (F.col("qcode") - 128)).alias("adot"))
+    )
+    w_a = Window.partitionBy("q_id").orderBy(F.desc("adot"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("r", F.row_number().over(w_a))
+        .filter(F.col("r") <= _SQ8_CAND)
+        .select("q_id", "vec_id")
+    )
+    qv = (
+        emb.filter(F.col("vec_id") < _SQ8_NQ)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()  # 5-row query frame, consumed by rerank AND brute verify
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = lambda a, b: dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))  # noqa: E731
+    exact = (
+        emb.join(F.broadcast(cand), "vec_id")  # cand is <= NQ*CAND rows: broadcast, never shuffle the corpus
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "vec_id", F.round(cos(F.col("embedding"), F.col("qv")), 4).alias("cos"))
+    )
+    w_r = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    rer = (
+        exact.withColumn("rank", F.row_number().over(w_r).cast("bigint"))
+        .filter(F.col("rank") <= _SQ8_TOPK)
+    )
+    brute = (
+        emb.join(F.broadcast(qv), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos(F.col("embedding"), F.col("qv")).alias("_c"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("r") <= _SQ8_TOPK)
+        .select("q_id", "vec_id", F.lit(True).alias("_hit"))
+    )
+    return (
+        rer.join(F.broadcast(brute), ["q_id", "vec_id"], "left")
+        .select(
+            "q_id",
+            "vec_id",
+            "cos",
+            "rank",
+            F.coalesce("_hit", F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity tertiles (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_CC_BUCKETS = 4096
+
+
+@register(
+    "corpus_cc_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(unnest(
+                   string_split_regex(trim(lower(text)), '\\s+'))), 1, 15))::BIGINT
+                   % {_CC_BUCKETS} AS bucket
+        FROM documents
+    ),
+    lm AS (
+        SELECT bucket, count(*) AS c
+        FROM toks WHERE lang = 'en' GROUP BY bucket
+    ),
+    n_t AS (SELECT count(*) AS n FROM toks WHERE lang = 'en'),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               count(*) AS n_toks,
+               CAST(sum(-CAST(round(ln(
+                   CAST(coalesce(lm.c, 0) + 1 AS DOUBLE)
+                   / CAST(n_t.n + {_CC_BUCKETS} AS DOUBLE)) * 1000000) AS BIGINT))
+                   AS BIGINT) AS ent_micro_sum
+        FROM toks t LEFT JOIN lm ON lm.bucket = t.bucket CROSS JOIN n_t
+        GROUP BY t.doc_id, t.lang
+    ),
+    pt AS (
+        SELECT doc_id, lang, n_toks,
+               (ent_micro_sum * 1000) // n_toks AS ent_millis_per_tok
+        FROM scored
+    ),
+    binned AS (
+        SELECT lang, ent_millis_per_tok,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY ent_millis_per_tok, doc_id) AS tertile
+        FROM pt
+    )
+    SELECT lang, tertile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(ent_millis_per_tok) AS min_ent,
+           max(ent_millis_per_tok) AS max_ent
+    FROM binned GROUP BY lang, tertile
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score every "
+        "document by per-token cross-entropy under a unigram LM trained on "
+        "the target slice (the English docs, hashed into "
+        f"{_CC_BUCKETS} add-one-smoothed md5 buckets — the distributed "
+        "proxy for CCNet's KenLM), then split each language into "
+        "head/middle/tail tertiles by ntile(3). Head = looks most like "
+        "the target (lowest entropy): CCNet keeps head+middle for "
+        "pretraining. Determinism: ln is taken once per BUCKET and "
+        "rounded to integer micros (the accepted ln-then-round "
+        "precedent), per-doc entropy is an exact bigint sum, and the "
+        "per-token rate uses positive integer floor-division "
+        "(micro*1000 div n) so tertile boundaries replay exactly; ntile "
+        "ties are pinned by doc_id. Plan: one tokenize pass, a "
+        f"{_CC_BUCKETS}-row LM dim (broadcast), per-doc sum, one ntile "
+        "window per language partition. At 100 TB the LM dim is "
+        "kilobytes of mergeable state computed once from the target "
+        "corpus, and scoring is a map-side broadcast join — only the "
+        "tertile window shuffles, on (lang) keys.",
+)
+def corpus_cc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+            % _CC_BUCKETS
+        ).alias("bucket"),
+    ).localCheckpoint()  # feeds the LM histogram AND the scoring join
+    en = toks.filter(F.col("lang") == "en")
+    lm = en.groupBy("bucket").agg(F.count("*").alias("c"))
+    n_t = en.agg(F.count("*").alias("n"))
+    term = (
+        lm.crossJoin(F.broadcast(n_t))
+        .select(
+            "bucket",
+            (
+                -F.round(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("n") + F.lit(_CC_BUCKETS)).cast("double")
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).alias("ent_micro"),
+        )
+    )
+    # OOV buckets (no en occurrence): entropy term = -round(ln(1/(n+B))*1e6)
+    oov = F.coalesce(
+        F.col("ent_micro"),
+        -F.round(
+            F.log(F.lit(1.0) / (F.col("n") + F.lit(_CC_BUCKETS)).cast("double"))
+            * 1000000
+        ).cast("bigint"),
+    )
+    scored = (
+        toks.join(F.broadcast(term), "bucket", "left")
+        .crossJoin(F.broadcast(n_t))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_toks"), F.sum(oov).alias("ent_micro_sum"))
+    )
+    pt = scored.select(
+        "doc_id",
+        "lang",
+        F.expr("(ent_micro_sum * 1000) div n_toks").alias("ent_millis_per_tok"),
+    )
+    binned = pt.withColumn(
+        "tertile",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("ent_millis_per_tok", "doc_id")
+        ),
+    )
+    return binned.groupBy("lang", "tertile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("ent_millis_per_tok").alias("min_ent"),
+        F.max("ent_millis_per_tok").alias("max_ent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV audit
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 256
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r FROM freq) x
+        WHERE r <= {_VOCAB_K}
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS oov_tokens,
+           (count(*) FILTER (WHERE v.tok IS NULL)) * 1000 // count(*)
+               AS oov_permille
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.lang
+    """,
+    doc=f"Tokenizer vocabulary coverage audit: build the top-{_VOCAB_K} "
+        "corpus vocabulary (frequency desc, token asc tiebreak — the "
+        "greedy frequency vocab a unigram tokenizer starts from), then "
+        "measure per-language OOV: total tokens, out-of-vocab tokens, and "
+        "integer per-mille OOV rate. The language whose OOV rate is "
+        "highest is the one the vocabulary underserves — the standard "
+        "pre-tokenizer-training fairness check (cf. XLM-R's per-language "
+        "fertility audit). Plan: ONE tokenize pass (checkpointed — feeds "
+        "the frequency aggregate and the coverage join), vocab via "
+        "TakeOrderedAndProject (no global sort), broadcast left join, "
+        "per-lang aggregate with map-side combine. Positive integer "
+        "floor-div keeps the rate exact on both engines. At 100 TB the "
+        "vocab dim is the only cross-partition state and it is top-k "
+        "mergeable.",
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).localCheckpoint()  # feeds the vocab build AND the coverage join
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = (
+        freq.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "oov_tokens",
+            F.expr("(oov_tokens * 1000) div total_tokens").alias("oov_permille"),
+        )
+    )

@@ -7560,6 +7560,10 @@ _DRIVER_WINDOW_FIRST = (
     "tokenizer_bpe_pairs",
     "corpus_dsir_importance",
     "corpus_mix_budget",
+    "streaming_dedup_state_ingest",
+    "ann_sq8_rerank",
+    "corpus_cc_perplexity_buckets",
+    "tokenizer_vocab_coverage",
     # -- backfill to 50: once-certified (r1), cheapest relational shapes --
     "scalar_string_ops",
     "scalar_date_ops",
@@ -7569,10 +7573,6 @@ _DRIVER_WINDOW_FIRST = (
     "window_moving_avg",
     "window_range_frame",
     "window_rank_family",
-    "window_running_total",
-    "agg_histogram",
-    "agg_percentiles",
-    "agg_rollup",
 )
 
 

@@ -251,3 +251,191 @@ def test_state_roundtrip_appends_batch_to_state(spark):
     rows = result.collect()
     assert all(r["id_a"] in hist_ids and r["id_b"] in batch_ids for r in rows)
     assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_state_ingest
+# ---------------------------------------------------------------------------
+
+def test_streaming_ingest_equals_oneshot_candidates(spark):
+    """The accumulated multi-batch result must equal the one-shot
+    symmetric LSH candidate set over the same planted corpus — the
+    batch-order-independence invariant the oracle also checks, here
+    verified Spark-vs-Spark (three sequential micro-batches vs one pass)."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        ).unionByName(
+            docs.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
+            )
+        )
+    )
+    from job_datapipeline_spark.plans.queries import _NDD_BANDS
+    oneshot = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(
+            D.minhash_signatures(corpus, num_hashes=_NDD_HASHES),
+            bands=_NDD_BANDS,
+            rows_per_band=_NDD_RPB,
+        ).filter(F.col("id_a") < F.col("id_b")).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["streaming_dedup_state_ingest"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == oneshot
+    # planted exact copies must always collide on every band
+    base_ids = {r["doc_id"] for r in docs.collect()}
+    assert {(d, d + 100000) for d in base_ids} <= got
+
+
+# ---------------------------------------------------------------------------
+# ann_sq8_rerank
+# ---------------------------------------------------------------------------
+
+def test_sq8_rerank_matches_pure_python(spark):
+    import math
+
+    from job_datapipeline_spark.plans.llm_round5 import (
+        _SQ8_CAND,
+        _SQ8_NQ,
+        _SQ8_TOPK,
+    )
+
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    dims = len(next(iter(emb.values())))
+    lo = [min(v[d] for v in emb.values()) for d in range(dims)]
+    hi = [max(v[d] for v in emb.values()) for d in range(dims)]
+
+    def code(x, d):
+        if hi[d] == lo[d]:
+            return 0
+        return math.floor((float(x) - float(lo[d])) * 255.0 / (float(hi[d]) - float(lo[d])))
+
+    codes = {i: [code(v[d], d) for d in range(dims)] for i, v in emb.items()}
+
+    def cos(a, b):
+        dp = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return dp / (na * nb)
+
+    expected = {}
+    for q in range(_SQ8_NQ):
+        adots = sorted(
+            ((sum((c - 128) * (qc - 128) for c, qc in zip(codes[i], codes[q])), i)
+             for i in emb if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        cand = [i for _, i in adots[:_SQ8_CAND]]
+        rer = sorted(
+            ((round(cos(emb[i], emb[q]), 4), i) for i in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:_SQ8_TOPK]
+        brute = {
+            i for _, i in sorted(
+                ((cos(emb[i], emb[q]), i) for i in emb if i != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:_SQ8_TOPK]
+        }
+        for rank, (c, i) in enumerate(rer, start=1):
+            expected[(q, i)] = (c, rank, i in brute)
+    got = {
+        (r["q_id"], r["vec_id"]): (r["cos"], r["rank"], r["in_exact_topk"])
+        for r in REGISTRY["ann_sq8_rerank"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # recall sanity: SQ8 at 64 dims over this corpus should recover most
+    # of the exact top-k (quantization is lossy, so not asserted == 100%)
+    n_hit = sum(1 for v in got.values() if v[2])
+    assert n_hit >= int(0.6 * len(got))
+
+
+# ---------------------------------------------------------------------------
+# corpus_cc_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+def test_cc_perplexity_matches_pure_python(spark):
+    import math
+
+    from job_datapipeline_spark.plans.llm_round5 import _CC_BUCKETS
+
+    docs = _docs(spark)
+    c = Counter()
+    n_en = 0
+    doc_buckets = {}
+    for doc_id, lang, _s, _n, text in docs:
+        buckets = [int(_md5(t)[:15], 16) % _CC_BUCKETS
+                   for t in text.strip().lower().split()]
+        doc_buckets[(doc_id, lang)] = buckets
+        if lang == "en":
+            c.update(buckets)
+            n_en += len(buckets)
+    ent = {}
+    for (doc_id, lang), bs in doc_buckets.items():
+        s = sum(
+            -_round_half_away(
+                math.log((c[b] + 1) / (n_en + _CC_BUCKETS)) * 1_000_000
+            )
+            for b in bs
+        )
+        ent[(doc_id, lang)] = (s * 1000) // len(bs)
+    by_lang = {}
+    for (doc_id, lang), e in ent.items():
+        by_lang.setdefault(lang, []).append((e, doc_id))
+    expected = {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        # ntile(3): first (n mod 3) tiles get ceil(n/3)
+        sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+        idx = 0
+        for t, size in enumerate(sizes, start=1):
+            part = rows[idx: idx + size]
+            idx += size
+            if part:
+                es = [e for e, _ in part]
+                expected[(lang, t)] = (len(part), min(es), max(es))
+    got = {
+        (r["lang"], r["tertile"]): (r["n_docs"], r["min_ent"], r["max_ent"])
+        for r in REGISTRY["corpus_cc_perplexity_buckets"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_coverage
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _VOCAB_K
+
+    docs = _docs(spark)
+    freq = Counter()
+    for _d, _l, _s, _n, text in docs:
+        freq.update(text.strip().lower().split())
+    vocab = {
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB_K]
+    }
+    tot = Counter()
+    oov = Counter()
+    for _d, lang, _s, _n, text in docs:
+        for t in text.strip().lower().split():
+            tot[lang] += 1
+            if t not in vocab:
+                oov[lang] += 1
+    expected = {
+        lang: (tot[lang], oov[lang], (oov[lang] * 1000) // tot[lang])
+        for lang in tot
+    }
+    got = {
+        r["lang"]: (r["total_tokens"], r["oov_tokens"], r["oov_permille"])
+        for r in REGISTRY["tokenizer_vocab_coverage"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

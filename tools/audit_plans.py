@@ -95,6 +95,14 @@ KNOWN = {
                         "5-stage linear pipeline over the checkpointed tf frame",
     "tpch_market_share": "Q8: the widest TPC-H join graph (6 joins + final agg) "
                          "legitimately exceeds the 8-exchange budget by one",
+    "ann_sq8_rerank": "5 of the 9 exchanges are kilobyte BroadcastExchanges "
+                      "(query codes, candidate ids, recall flags); the 4 hash "
+                      "shuffles are the designed minimum: code-dot aggregate, "
+                      "candidate top-k window, rerank top-k window, and the "
+                      "brute-force recall-verdict window (in-plan verification, "
+                      "small-scale-only — the agg_quantile_sketch_mergeable "
+                      "convention). Corpus float vectors are scanned twice: "
+                      "rerank (by design, candidates only) + the verify side.",
     "corpus_pretrain_pipeline": "5-stage composition (classifier agg, chunking, "
                                 "chunk-dedup window, temperature-sample agg, "
                                 "report union) — each wide stage shuffles once "
