@@ -877,3 +877,354 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(oov_tokens * 1000) div total_tokens").alias("oov_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style maximal repeated spans + T5 span-corruption planning
+# ---------------------------------------------------------------------------
+
+_ESS_L = 8  # repeated-gram length (tokens)
+
+
+def _merge_fixed_spans(starts: DataFrame, part_col: str, pos_col: str,
+                       span_len: int) -> DataFrame:
+    """Merge fixed-length spans anchored at sorted start positions into
+    maximal islands per partition key: two spans of length L merge iff
+    their starts differ by <= L (overlap or adjacency). Returns one row
+    per key: n_spans, covered_tokens (union length). Pure window
+    gaps-and-islands — the same machinery as events_sessionize, so the
+    SQL twin replays it verbatim; one shuffle on the partition key."""
+    w = Window.partitionBy(part_col).orderBy(pos_col)
+    prev = F.lag(pos_col).over(w)
+    brk = (prev.isNull() | (F.col(pos_col) - prev > span_len)).cast("int")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = starts.withColumn("_island", F.sum(brk).over(w2))
+    island = df.groupBy(part_col, "_island").agg(
+        (F.max(pos_col) - F.min(pos_col) + span_len).alias("_len")
+    )
+    return island.groupBy(part_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum("_len").cast("bigint").alias("covered_tokens"),
+    )
+
+
+_SQL_ISLANDS = """
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {L}
+                THEN 1 ELSE 0 END AS brk
+    FROM starts),
+isl AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked),
+spans AS (
+    SELECT doc_id, island, max(pos) - min(pos) + {L} AS span_len
+    FROM isl GROUP BY doc_id, island),
+perdoc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_len) AS BIGINT) AS covered_tokens
+    FROM spans GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) >= {_ESS_L}),
+    g AS (
+        SELECT doc_id, n, unnest(range(1, n - {_ESS_L} + 2)) AS pos, t
+        FROM sized
+    ),
+    h AS (
+        SELECT doc_id, n, pos,
+               md5(array_to_string(t[pos : pos + {_ESS_L} - 1], ' ')) AS gh
+        FROM g
+    ),
+    dup AS (SELECT gh FROM h GROUP BY gh HAVING count(*) >= 2),
+    starts AS (SELECT h.doc_id, h.pos FROM h JOIN dup ON dup.gh = h.gh),
+    {_SQL_ISLANDS.format(L=_ESS_L)}
+    SELECT p.doc_id, p.n_spans, p.covered_tokens,
+           (p.covered_tokens * 1000) // s.n AS covered_permille
+    FROM perdoc p JOIN sized s ON s.doc_id = p.doc_id
+    """,
+    doc=f"ExactSubstr dedup planning (Lee et al. 2022, 'Deduplicating "
+        "Training Data Makes Language Models Better', token-level): every "
+        f"{_ESS_L}-token gram occurring >= 2 times corpus-wide marks its "
+        "start position; per document, overlapping/adjacent marked spans "
+        "merge (gaps-and-islands window) into MAXIMAL repeated spans — "
+        "the paper's suffix-array step re-expressed as a distributed "
+        "gram-hash aggregate, trading the suffix array's O(total chars) "
+        "state for a shuffle Spark already knows how to partition. "
+        "Output per affected doc: span count, covered tokens, integer "
+        "per-mille coverage (the 'fraction removable' the paper cuts). "
+        "Plan: one gram explode (map-side), ONE count window over "
+        "gram-hash (the measured-cheaper form vs groupBy+join, cf. "
+        "corpus_chunk_dedup), one islands window per doc. At 100 TB the "
+        "gram stream shuffles once on hash — linear, skew-free (md5 "
+        "keys); the islands window shuffles only marked starts.",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    sized = docs.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(
+        F.col("n") >= _ESS_L
+    ).localCheckpoint()  # feeds the gram stream AND the final length join
+    grams = sized.withColumn(
+        "pos", F.explode(F.sequence(F.lit(1), F.col("n") - _ESS_L + 1))
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.array_join(F.slice("t", F.col("pos"), _ESS_L), " ")).alias("gh"),
+    )
+    w_h = Window.partitionBy("gh")
+    starts = (
+        grams.withColumn("_cnt", F.count("*").over(w_h))
+        .filter(F.col("_cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    perdoc = _merge_fixed_spans(starts, "doc_id", "pos", _ESS_L)
+    return perdoc.join(sized.select("doc_id", "n"), "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "covered_tokens",
+        F.expr("(covered_tokens * 1000) div n").alias("covered_permille"),
+    )
+
+
+_T5_SPAN = 3        # mean span length (fixed here: deterministic plan)
+_T5_START_PM = 50   # per-position start probability, per-mille (5%)
+_T5_SALT = "t5span-v1"
+
+
+@register(
+    "corpus_span_corruption_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split_regex(trim(lower(text)), '\\s+')) AS n
+        FROM documents WHERE trim(text) <> ''
+    ),
+    p AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS pos FROM t),
+    starts AS (
+        SELECT doc_id, pos FROM p
+        WHERE pos <= n - {_T5_SPAN} + 1
+          AND ('0x' || substring(md5('{_T5_SALT}:' || CAST(doc_id AS VARCHAR)
+                                      || ':' || CAST(pos AS VARCHAR)), 1, 4))::BIGINT
+              * 1000 < {_T5_START_PM} * 65536
+    ),
+    {_SQL_ISLANDS.format(L=_T5_SPAN)}
+    SELECT t.doc_id, t.n AS n_tokens,
+           coalesce(p2.n_spans, 0) AS n_spans,
+           coalesce(p2.covered_tokens, 0) AS n_masked,
+           (coalesce(p2.covered_tokens, 0) * 1000) // t.n AS mask_permille
+    FROM t LEFT JOIN perdoc p2 ON p2.doc_id = t.doc_id
+    """,
+    doc="T5-style span-corruption plan (Raffel et al. 2020): deterministic "
+        f"mask-span selection — each in-range position starts a "
+        f"{_T5_SPAN}-token span with probability {_T5_START_PM}/1000, "
+        "drawn by the repo's salted-md5 16-bit draw (cross-multiplied "
+        "integer compare, so the masked SET is bit-identical on any "
+        "engine and REPLAYABLE across epochs — the property a "
+        "distributed data loader needs so every worker agrees on the "
+        "mask without coordination). Overlapping spans merge via the "
+        "shared gaps-and-islands helper (each merged island = one "
+        "sentinel in the T5 encoding). Per doc: token count, sentinel "
+        "count, masked tokens, integer per-mille mask rate (target "
+        "~15% = 50/1000 starts x 3-token spans). Plan: pure map-side "
+        "position explode + filter, one islands window per doc — no "
+        "corpus-wide state at all; at 100 TB this composes with "
+        "text_chunk_overlap upstream of the trainer.",
+)
+def corpus_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    sized = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n")
+    ).localCheckpoint()  # feeds the draw stream AND the report join
+    draw16 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(_T5_SALT), F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    starts = (
+        sized.withColumn("pos", F.explode(F.sequence(F.lit(1), F.col("n"))))
+        .filter(
+            (F.col("pos") <= F.col("n") - _T5_SPAN + 1)
+            & (draw16 * 1000 < F.lit(_T5_START_PM * 65536))
+        )
+        .select("doc_id", "pos")
+    )
+    perdoc = _merge_fixed_spans(starts, "doc_id", "pos", _T5_SPAN)
+    return sized.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("n_masked"),
+        F.expr("(coalesce(covered_tokens, 0) * 1000) div n").alias("mask_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-slope corpus QA + inverted index
+# ---------------------------------------------------------------------------
+
+_ZIPF_RANKS = 100
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+    ranked AS (
+        SELECT lang, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT lang,
+               CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM ranked WHERE r <= {_ZIPF_RANKS}
+    ),
+    s AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+    FROM s
+    """,
+    doc="Zipf-slope corpus QA: least-squares slope of ln(frequency) vs "
+        f"ln(rank) over each language's top {_ZIPF_RANKS} token ranks — "
+        "natural language sits near -1; a slope far off flags template/"
+        "boilerplate-dominated or tokenizer-broken slices (a standard "
+        "corpus-health check before tokenizer training). Determinism: "
+        "ln is taken per (rank, count) POINT and rounded to integer "
+        "micros, the regression moments are exact bigint sums, and the "
+        "single closing division is one double op on two exact bigints "
+        "rounded to 4 — the ln-then-round precedent end to end. Plan: "
+        "token count aggregate (map-side combine), per-lang top-ranks "
+        "window over the (small) distinct-token frame, 5-integer-moment "
+        "aggregate; at 100 TB only the token count shuffles on data "
+        "volume — the regression runs on langs x 100 rows.",
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+        ),
+    ).filter(F.col("r") <= _ZIPF_RANKS)
+    pts = ranked.select(
+        "lang",
+        F.round(F.log(F.col("r").cast("double")) * 1000000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "lang",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+_INV_TERMS = 32
+_INV_POSTINGS = 20
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+    top AS (
+        SELECT tok, df FROM (
+            SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS r
+            FROM df) x
+        WHERE r <= {_INV_TERMS}
+    )
+    SELECT top.tok AS term, top.df,
+           array_to_string((list_sort(list(t.doc_id)))[1 : {_INV_POSTINGS}], ',')
+               AS postings
+    FROM top JOIN toks t ON t.tok = top.tok
+    GROUP BY top.tok, top.df
+    """,
+    doc=f"Inverted-index construction (the retrieval-side artifact BM25 "
+        "serves from): per-term document-frequency table, top "
+        f"{_INV_TERMS} terms by (df desc, term asc), each with its "
+        f"posting list truncated to the first {_INV_POSTINGS} doc ids "
+        "ascending — the bounded-prefix convention real posting formats "
+        "(impact-ordered or doc-ordered blocks) use for skippable "
+        "storage. Plan: distinct (doc, term) pass, df aggregate, top-k "
+        "via TakeOrderedAndProject, then collect_set -> sort_array -> "
+        "slice for ONLY the selected terms (the broadcast semi-join "
+        "prunes the posting build to 32 terms before any list state "
+        "exists). At 100 TB posting lists are the one unbounded-state "
+        "aggregate in this file — the truncation bound is what keeps "
+        "executor memory flat, and full lists would go to a bucketed "
+        "sink partitioned by term hash instead.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).distinct().localCheckpoint()  # feeds the df aggregate AND the posting build
+    df_ = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    top = df_.orderBy(F.desc("df"), F.asc("tok")).limit(_INV_TERMS)
+    return (
+        toks.join(F.broadcast(top), "tok")
+        .groupBy(F.col("tok").alias("term"), "df")
+        .agg(
+            # comma-joined string, not a raw array column: the registry's
+            # output convention is scalar columns (cross-engine array
+            # renderings differ — numpy vs list — under Arrow-less
+            # sessions, and a string round-trips any compare harness)
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, _INV_POSTINGS), ","
+            ).alias("postings")
+        )
+    )

@@ -7564,15 +7564,15 @@ _DRIVER_WINDOW_FIRST = (
     "ann_sq8_rerank",
     "corpus_cc_perplexity_buckets",
     "tokenizer_vocab_coverage",
+    "dedup_exact_substring_spans",
+    "corpus_span_corruption_plan",
+    "corpus_zipf_slope",
+    "text_inverted_index",
     # -- backfill to 50: once-certified (r1), cheapest relational shapes --
     "scalar_string_ops",
     "scalar_date_ops",
     "scalar_json_props",
     "scalar_case_null",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_rank_family",
 )
 
 

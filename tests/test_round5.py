@@ -439,3 +439,144 @@ def test_vocab_coverage_matches_pure_python(spark):
         for r in REGISTRY["tokenizer_vocab_coverage"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_substring_spans / corpus_span_corruption_plan (shared islands)
+# ---------------------------------------------------------------------------
+
+def _merge_spans_py(starts: list[int], L: int) -> tuple[int, int]:
+    """(n_spans, covered) for sorted fixed-length span starts."""
+    if not starts:
+        return 0, 0
+    n_spans, covered = 0, 0
+    first = prev = starts[0]
+    for p in starts[1:]:
+        if p - prev > L:
+            n_spans += 1
+            covered += prev - first + L
+            first = p
+        prev = p
+    n_spans += 1
+    covered += prev - first + L
+    return n_spans, covered
+
+
+def test_exact_substring_spans_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _ESS_L
+
+    docs = [(d, t.strip().lower().split()) for d, _l, _s, _n, t in _docs(spark)]
+    gram_count = Counter()
+    doc_grams = {}
+    for d, toks in docs:
+        if len(toks) < _ESS_L:
+            continue
+        ghs = [
+            _md5(" ".join(toks[i : i + _ESS_L]))
+            for i in range(len(toks) - _ESS_L + 1)
+        ]
+        doc_grams[d] = (ghs, len(toks))
+        gram_count.update(ghs)
+    expected = {}
+    for d, (ghs, n) in doc_grams.items():
+        starts = [i + 1 for i, g in enumerate(ghs) if gram_count[g] >= 2]
+        if not starts:
+            continue
+        n_spans, covered = _merge_spans_py(starts, _ESS_L)
+        expected[d] = (n_spans, covered, covered * 1000 // n)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["covered_tokens"], r["covered_permille"])
+        for r in REGISTRY["dedup_exact_substring_spans"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain repeated grams"
+
+
+def test_span_corruption_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import (
+        _T5_SALT,
+        _T5_SPAN,
+        _T5_START_PM,
+    )
+
+    expected = {}
+    for d, _l, _s, _n, text in _docs(spark):
+        toks = text.strip().lower().split()
+        if not toks:
+            continue
+        n = len(toks)
+        starts = [
+            pos
+            for pos in range(1, n - _T5_SPAN + 2)
+            if int(_md5(f"{_T5_SALT}:{d}:{pos}")[:4], 16) * 1000
+            < _T5_START_PM * 65536
+        ]
+        n_spans, covered = _merge_spans_py(starts, _T5_SPAN)
+        expected[d] = (n, n_spans, covered, covered * 1000 // n)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_masked"], r["mask_permille"])
+        for r in REGISTRY["corpus_span_corruption_plan"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # the plan must actually mask something at the 5%-start rate
+    assert sum(v[2] for v in expected.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# corpus_zipf_slope
+# ---------------------------------------------------------------------------
+
+def test_zipf_slope_matches_pure_python(spark):
+    import math
+
+    from job_datapipeline_spark.plans.llm_round5 import _ZIPF_RANKS
+
+    freq: dict[str, Counter] = {}
+    for _d, lang, _s, _n, text in _docs(spark):
+        freq.setdefault(lang, Counter()).update(text.strip().lower().split())
+    expected = {}
+    for lang, c in freq.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_RANKS]
+        pts = [
+            (
+                _round_half_away(math.log(r) * 1_000_000),
+                _round_half_away(math.log(cnt) * 1_000_000),
+            )
+            for r, (_t, cnt) in enumerate(ranked, start=1)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        expected[lang] = (n, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4))
+    got = {
+        r["lang"]: (r["n"], r["zipf_slope"])
+        for r in REGISTRY["corpus_zipf_slope"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # natural-ish text: every slope negative, in a sane Zipf band
+    assert all(-3.0 < v[1] < -0.1 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# text_inverted_index
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _INV_POSTINGS, _INV_TERMS
+
+    postings: dict[str, set] = {}
+    for d, _l, _s, _n, text in _docs(spark):
+        for t in set(text.strip().lower().split()):
+            postings.setdefault(t, set()).add(d)
+    top = sorted(postings.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:_INV_TERMS]
+    expected = {
+        t: (len(ds), ",".join(str(d) for d in sorted(ds)[:_INV_POSTINGS]))
+        for t, ds in top
+    }
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in REGISTRY["text_inverted_index"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
