@@ -462,3 +462,50 @@ def test_semantic_prune_cell_local_pairs(spark, sf_dir):
     plan = _plan(REGISTRY["dedup_semantic_prune"].fn(spark, sf_dir))
     assert "embeddings" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-5 pins -----------------------------------------------------------
+
+def test_sq8_rerank_codes_only_candidates(spark, sf_dir):
+    # candidate generation runs on the checkpointed integer codes table;
+    # the float corpus appears exactly twice — candidate rerank (by
+    # design) and the in-plan brute-force recall verdict.
+    plan = _plan(REGISTRY["ann_sq8_rerank"].fn(spark, sf_dir))
+    assert plan.count("embeddings.parquet]") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_one_gram_window(spark, sf_dir):
+    # the sized frame is checkpointed (gram stream + final length join);
+    # duplicated starts come from ONE count window over the gram hash,
+    # not a groupBy + join-back of the gram stream.
+    plan = _plan(REGISTRY["dedup_exact_substring_spans"].fn(spark, sf_dir))
+    assert "documents" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_corruption_map_side_only_draws(spark, sf_dir):
+    # mask-start selection is a map-side explode+filter on the
+    # checkpointed sized frame; only the islands window and the report
+    # join shuffle. No corpus-wide aggregate of any kind.
+    plan = _plan(REGISTRY["corpus_span_corruption_plan"].fn(spark, sf_dir))
+    assert "documents" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_single_token_pass(spark, sf_dir):
+    # the token stream is checkpointed: frequency vocab AND coverage join
+    # both read it; the vocab reaches the join as a broadcast.
+    plan = _plan(REGISTRY["tokenizer_vocab_coverage"].fn(spark, sf_dir))
+    assert "documents" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-K vocab, never a global sort
+
+
+def test_theta_sketch_two_exchange_single_pass(spark, sf_dir):
+    # duplicate-insensitive sketches: one groupBy(user_day) + one scalar
+    # agg compute both sketches and all four exact counts — exactly two
+    # hash exchanges, no joins, no distincts.
+    plan = _plan(REGISTRY["agg_theta_sketch_setops"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1  # the groupBy
+    assert "Join" not in plan
