@@ -7568,11 +7568,11 @@ _DRIVER_WINDOW_FIRST = (
     "corpus_span_corruption_plan",
     "corpus_zipf_slope",
     "text_inverted_index",
+    "text_cdc_chunk_match",
+    "corpus_split_drift",
     # -- backfill to 50: once-certified (r1), cheapest relational shapes --
     "scalar_string_ops",
     "scalar_date_ops",
-    "scalar_json_props",
-    "scalar_case_null",
 )
 
 

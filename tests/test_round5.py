@@ -580,3 +580,110 @@ def test_inverted_index_matches_pure_python(spark):
         for r in REGISTRY["text_inverted_index"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# text_cdc_chunk_match
+# ---------------------------------------------------------------------------
+
+def test_cdc_chunk_match_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _CDC_MOD, _CDC_SHIFT
+
+    def chunks_of(text: str) -> list[str]:
+        toks = text.strip().lower().split()
+        if len(toks) < 2:
+            return []
+        out, cur = [], []
+        for i, tok in enumerate(toks):
+            cur.append(tok)
+            is_brk = (
+                i + 1 < len(toks)
+                and int(_md5(f"{tok} {toks[i + 1]}")[:4], 16) % _CDC_MOD == 0
+            )
+            if is_brk:
+                out.append(_md5(" ".join(cur)))
+                cur = []
+        if cur:
+            out.append(_md5(" ".join(cur)))
+        return out
+
+    n_copies = total = matched = 0
+    for _d, _l, _s, _n, text in _docs(spark):
+        base = set(chunks_of(text))
+        copy = chunks_of(f"{_CDC_SHIFT} {text}")
+        if not copy:
+            continue
+        n_copies += 1
+        total += len(copy)
+        matched += sum(1 for ch in copy if ch in base)
+    row = REGISTRY["text_cdc_chunk_match"].fn(spark, SF_SMOKE).collect()[0]
+    assert (
+        row["n_copies"],
+        row["total_chunks"],
+        row["matched_chunks"],
+        row["matched_permille"],
+    ) == (n_copies, total, matched, matched * 1000 // total)
+    # content-defined boundaries must re-synchronize after the 2-token
+    # insertion: a fixed-stride chunker would match ~0 here
+    assert row["matched_permille"] > 600
+
+
+def test_cdc_beats_fixed_stride_on_insertion(spark):
+    """The reason CDC exists: the SAME planted 2-token insertion against
+    the repo's fixed-stride chunker (text_chunk_overlap hashing) yields a
+    near-zero chunk match rate, while CDC re-synchronizes."""
+    from job_datapipeline_spark.plans.llm_extras import _CHUNK_SIZE, _CHUNK_STRIDE
+    from job_datapipeline_spark.plans.llm_round5 import _CDC_SHIFT
+
+    def stride_chunks(text: str) -> list[str]:
+        toks = text.strip().lower().split()
+        if not toks:
+            return []
+        n = len(toks)
+        n_chunks = 1 + -(-max(n - _CHUNK_SIZE, 0) // _CHUNK_STRIDE)
+        return [
+            _md5(" ".join(toks[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_SIZE]))
+            for i in range(n_chunks)
+        ]
+
+    total = matched = 0
+    for _d, _l, _s, _n, text in _docs(spark):
+        base = set(stride_chunks(text))
+        copy = stride_chunks(f"{_CDC_SHIFT} {text}")
+        total += len(copy)
+        matched += sum(1 for ch in copy if ch in base)
+    assert total > 0
+    fixed_permille = matched * 1000 // total
+    cdc_permille = REGISTRY["text_cdc_chunk_match"].fn(spark, SF_SMOKE).collect()[0][
+        "matched_permille"
+    ]
+    assert fixed_permille < 100 < cdc_permille
+
+
+# ---------------------------------------------------------------------------
+# corpus_split_drift
+# ---------------------------------------------------------------------------
+
+def test_split_drift_matches_pure_python(spark):
+    from job_datapipeline_spark.plans.llm_round5 import _DRIFT_TOPK
+
+    a: Counter[str] = Counter()
+    b: Counter[str] = Counter()
+    for d, _l, _s, _n, text in _docs(spark):
+        (a if d % 2 == 0 else b).update(text.strip().lower().split())
+    n1, n2 = sum(a.values()), sum(b.values())
+    scored = []
+    for tok in set(a) | set(b):
+        diff = float(a[tok] * n2 - b[tok] * n1)
+        chi2 = round(diff * diff / (float(n1) * float(n2) * float(a[tok] + b[tok])), 4)
+        scored.append((tok, a[tok], b[tok], chi2))
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    expected = {
+        (tok, av, bv, chi2, rank)
+        for rank, (tok, av, bv, chi2) in enumerate(scored[:_DRIFT_TOPK], start=1)
+    }
+    got = {
+        (r["tok"], r["a"], r["b"], r["chi2"], r["rank"])
+        for r in REGISTRY["corpus_split_drift"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
