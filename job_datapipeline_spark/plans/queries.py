@@ -7570,9 +7570,9 @@ _DRIVER_WINDOW_FIRST = (
     "text_inverted_index",
     "text_cdc_chunk_match",
     "corpus_split_drift",
+    "dedup_minhash_estimate_accuracy",
     # -- backfill to 50: once-certified (r1), cheapest relational shapes --
     "scalar_string_ops",
-    "scalar_date_ops",
 )
 
 

@@ -687,3 +687,27 @@ def test_split_drift_matches_pure_python(spark):
         for r in REGISTRY["corpus_split_drift"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_accuracy
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimate_accuracy_properties(spark):
+    """Estimator sanity on the planted corpus: exact copies (ids +1e5)
+    must estimate 1000 permille with zero error; the mean absolute error
+    across all candidate pairs must sit within ~2x the 8-hash binomial
+    std-err bound (sqrt(J(1-J)/8) ~ 140 milli at J=0.8)."""
+    rows = REGISTRY["dedup_minhash_estimate_accuracy"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_pair = {(r["id_a"], r["id_b"]): r for r in rows}
+    base_ids = {r["doc_id"] for r in table(spark, SF_SMOKE, "documents").collect()}
+    for d in base_ids:
+        r = by_pair.get((d, d + 100000))
+        assert r is not None, f"exact copy pair ({d},{d+100000}) missing"
+        assert r["n_match"] == _NDD_HASHES and r["est_permille"] == 1000
+        assert r["jaccard"] == 1.0 and r["err_milli"] == 0
+    mean_err = sum(r["err_milli"] for r in rows) / len(rows)
+    assert mean_err < 280, mean_err
+    # every estimate is a multiple of 1000/8 = 125
+    assert all(r["est_permille"] % 125 == 0 for r in rows)
