@@ -7572,7 +7572,11 @@ _DRIVER_WINDOW_FIRST = (
     "corpus_split_drift",
     "dedup_minhash_estimate_accuracy",
     # -- new in round 5, second batch (displaces the last backfill slot;
-    # the other five llm_round5b entries queue for the r6 rotation) --
+    # the remaining r5 entries queue for the r6 rotation: the other five
+    # llm_round5b queries — agg_countmin_frequency, corpus_url_blocklist,
+    # text_encoding_repair, quality_profile_columns, embedding_mean_pool —
+    # and the five llm_round5c queries — text_rrf_fusion, snapshot_diff,
+    # join_size_estimate, sink_roundtrip_orc, pareto_frontier) --
     "agg_bloom_membership",
 )
 
@@ -7594,5 +7598,6 @@ from . import llm_extras  # noqa: E402,F401  (BM25 / temperature sampling / SemD
 from . import tpch_full  # noqa: E402,F401  (registers the 13 remaining TPC-H shapes)
 from . import llm_round5  # noqa: E402,F401  (domain cap / BPE pairs / DSIR / mix budget)
 from . import llm_round5b  # noqa: E402,F401  (bloom / count-min / blocklist / mojibake / profiler / mean-pool)
+from . import llm_round5c  # noqa: E402,F401  (RRF fusion / snapshot diff / join-size estimate / ORC sink / skyline)
 
 _reorder_registry()

@@ -563,3 +563,41 @@ def test_mean_pool_single_shuffle(spark, sf_dir):
     plan = _plan(REGISTRY["embedding_mean_pool"].fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()  # map-side combine before the exchange
+
+
+# --- round-5 third-batch pins -----------------------------------------------
+
+def test_rrf_rankers_read_checkpoint_not_corpus(spark, sf_dir):
+    # the candidate aggregate is checkpointed — both rankers and the
+    # fusion read it, the corpus is tokenized once; each ranker cut is a
+    # TakeOrderedAndProject, never a corpus-wide window.
+    plan = _plan(REGISTRY["text_rrf_fusion"].fn(spark, sf_dir))
+    assert "documents" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_fact_scan(spark, sf_dir):
+    # v1 and both v2 branches derive from ONE checkpointed scan of the
+    # fact table; the diff is a single full-outer join on the key.
+    plan = _plan(REGISTRY["snapshot_diff"].fn(spark, sf_dir))
+    assert "orders.parquet]" not in plan  # reads the checkpoint
+    assert plan.count("FullOuter") == 1
+
+
+def test_join_size_estimate_histograms_partial_agg(spark, sf_dir):
+    # the two per-key histograms partial-aggregate map-side; the
+    # verification join is the only place the raw tables meet.
+    plan = _plan(REGISTRY["join_size_estimate"].fn(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pareto_window_runs_on_price_frame(spark, sf_dir):
+    # the running-min window consumes the per-price aggregate (distinct
+    # prices), never the part table; the join back is a broadcast.
+    plan = _plan(REGISTRY["pareto_frontier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # window input is the aggregated frame: partial min before exchange
+    assert "partial_min" in plan
