@@ -7575,8 +7575,12 @@ _DRIVER_WINDOW_FIRST = (
     # the remaining r5 entries queue for the r6 rotation: the other five
     # llm_round5b queries — agg_countmin_frequency, corpus_url_blocklist,
     # text_encoding_repair, quality_profile_columns, embedding_mean_pool —
-    # and the five llm_round5c queries — text_rrf_fusion, snapshot_diff,
-    # join_size_estimate, sink_roundtrip_orc, pareto_frontier) --
+    # the five llm_round5c queries — text_rrf_fusion, snapshot_diff,
+    # join_size_estimate, sink_roundtrip_orc, pareto_frontier — and the
+    # six llm_round5d queries — text_pmi_collocations,
+    # corpus_curriculum_schedule, mv_incremental_maintenance,
+    # corpus_preference_pairs, text_lexical_diversity,
+    # agg_gini_concentration) --
     "agg_bloom_membership",
 )
 
@@ -7599,5 +7603,6 @@ from . import tpch_full  # noqa: E402,F401  (registers the 13 remaining TPC-H sh
 from . import llm_round5  # noqa: E402,F401  (domain cap / BPE pairs / DSIR / mix budget)
 from . import llm_round5b  # noqa: E402,F401  (bloom / count-min / blocklist / mojibake / profiler / mean-pool)
 from . import llm_round5c  # noqa: E402,F401  (RRF fusion / snapshot diff / join-size estimate / ORC sink / skyline)
+from . import llm_round5d  # noqa: E402,F401  (PMI / curriculum / incremental MV / preference pairs / diversity / Gini)
 
 _reorder_registry()

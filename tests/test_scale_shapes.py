@@ -601,3 +601,59 @@ def test_pareto_window_runs_on_price_frame(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # window input is the aggregated frame: partial min before exchange
     assert "partial_min" in plan
+
+
+# --- round-5 fourth-batch pins -----------------------------------------------
+
+def test_pmi_marginals_read_checkpoint_not_corpus(spark, sf_dir):
+    # the bigram aggregate is checkpointed: both marginals, the total,
+    # and the final join all derive from it — the corpus is tokenized
+    # exactly once, and the marginal joins broadcast.
+    plan = _plan(REGISTRY["text_pmi_collocations"].fn(spark, sf_dir))
+    assert "documents" not in plan  # reads the checkpoint
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_curriculum_scan_prunes_to_needed_columns(spark, sf_dir):
+    # the corpus scan reads only (doc_id, text, n_chars); the running
+    # sum is the plan's single global sort.
+    plan = _plan(REGISTRY["corpus_curriculum_schedule"].fn(spark, sf_dir))
+    assert "lang" not in plan and "source" not in plan  # pruned
+    assert plan.count("documents.parquet]") == 1
+
+
+def test_mv_incremental_single_fact_scan(spark, sf_dir):
+    # v1, both v2 branches, and all three aggregates derive from ONE
+    # checkpointed scan of orders; the CDC join is the only full-outer.
+    plan = _plan(REGISTRY["mv_incremental_maintenance"].fn(spark, sf_dir))
+    assert "orders.parquet]" not in plan  # reads the checkpoint
+    assert plan.count("FullOuter") == 2  # CDC delta + mv1-merge (tiny frames)
+    assert "CartesianProduct" not in plan
+
+
+def test_preference_pairs_one_shuffle_serves_both_windows(spark, sf_dir):
+    # both row_number ranks ride the SAME hash partitioning on the group
+    # key (one exchange before the checkpoint), so the extremes join
+    # works over one-row-per-group frames.
+    ranked_plan = _plan(REGISTRY["corpus_preference_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in ranked_plan
+    # downstream of the checkpoint: only the extremes join remains
+    assert "documents" not in ranked_plan
+
+
+def test_lexical_diversity_partial_agg_on_bounded_keys(spark, sf_dir):
+    # the (lang, token) count partial-aggregates map-side; the rollup
+    # runs over the bounded vocabulary-x-language frame.
+    plan = _plan(REGISTRY["text_lexical_diversity"].fn(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet]") == 1
+
+
+def test_gini_window_runs_on_distinct_source_frame(spark, sf_dir):
+    # the rank window consumes the per-source aggregate (bounded domain
+    # frame), never the documents table; one corpus scan total.
+    plan = _plan(REGISTRY["agg_gini_concentration"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet]") == 1
+    assert "partial_count" in plan  # map-side combine before the exchange
