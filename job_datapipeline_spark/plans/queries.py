@@ -7580,7 +7580,9 @@ _DRIVER_WINDOW_FIRST = (
     # six llm_round5d queries — text_pmi_collocations,
     # corpus_curriculum_schedule, mv_incremental_maintenance,
     # corpus_preference_pairs, text_lexical_diversity,
-    # agg_gini_concentration) --
+    # agg_gini_concentration — and the five llm_round5e queries —
+    # events_interpolate_linear, corpus_negative_samples,
+    # join_skew_diagnosis, ml_classification_metrics, ml_auc_rank) --
     "agg_bloom_membership",
 )
 
@@ -7604,5 +7606,6 @@ from . import llm_round5  # noqa: E402,F401  (domain cap / BPE pairs / DSIR / mi
 from . import llm_round5b  # noqa: E402,F401  (bloom / count-min / blocklist / mojibake / profiler / mean-pool)
 from . import llm_round5c  # noqa: E402,F401  (RRF fusion / snapshot diff / join-size estimate / ORC sink / skyline)
 from . import llm_round5d  # noqa: E402,F401  (PMI / curriculum / incremental MV / preference pairs / diversity / Gini)
+from . import llm_round5e  # noqa: E402,F401  (interpolation / negative sampling / skew diagnosis / classification metrics / AUC)
 
 _reorder_registry()

@@ -657,3 +657,49 @@ def test_gini_window_runs_on_distinct_source_frame(spark, sf_dir):
     plan = _plan(REGISTRY["agg_gini_concentration"].fn(spark, sf_dir))
     assert plan.count("documents.parquet]") == 1
     assert "partial_count" in plan  # map-side combine before the exchange
+
+
+# --- round-5 fifth-batch pins ------------------------------------------------
+
+def test_interpolate_windows_share_one_sort(spark, sf_dir):
+    # all four neighbor lookups (prev/next value and position) ride ONE
+    # partition-by-series sort; the spine is generated, never scanned.
+    plan = _plan(REGISTRY["events_interpolate_linear"].fn(spark, sf_dir))
+    assert plan.count("Window") <= 3  # rn + backward frame + forward frame
+    # types+bounds fuse into one checkpointed per-type aggregate, so the
+    # raw table is scanned once more for the rollup and that is all
+    assert plan.count("events.parquet]") == 1
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_negative_samples_broadcast_ring(spark, sf_dir):
+    # the representative election is the only aggregate (B rows); the
+    # fan-out joins it broadcast — no shuffle scales with the corpus.
+    plan = _plan(REGISTRY["corpus_negative_samples"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_diagnosis_histogram_only(spark, sf_dir):
+    # one partial-aggregated histogram, totals broadcast back, top-k via
+    # TakeOrderedAndProject — the raw table never re-scans.
+    plan = _plan(REGISTRY["join_skew_diagnosis"].fn(spark, sf_dir))
+    assert "lineitem.parquet]" not in plan  # reads the checkpoint
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_classification_metrics_single_pass(spark, sf_dir):
+    # one scan, one map-side-combined aggregate, zero joins
+    plan = _plan(REGISTRY["ml_classification_metrics"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet]") == 1
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_auc_window_runs_on_distinct_score_frame(spark, sf_dir):
+    # the rank cumsum consumes the per-score aggregate, never raw rows;
+    # one corpus scan total.
+    plan = _plan(REGISTRY["ml_auc_rank"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet]") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
