@@ -68,12 +68,12 @@ _BLOOM_K = 4  # hash functions
 _BLOOM_NONMEMBER_OFFSET = 100_000_000
 
 
-def _bloom_bit_col(key: F.Column, j: int) -> F.Column:
+def _bloom_bit_col(key: F.Column, j: int, m: int = _BLOOM_M) -> F.Column:
     return (
         F.conv(
             F.substring(F.md5(F.concat(key, F.lit(f":{j}"))), 1, 15), 16, 10
         ).cast("bigint")
-        % _BLOOM_M
+        % m
     )
 
 

@@ -7582,7 +7582,10 @@ _DRIVER_WINDOW_FIRST = (
     # corpus_preference_pairs, text_lexical_diversity,
     # agg_gini_concentration — and the five llm_round5e queries —
     # events_interpolate_linear, corpus_negative_samples,
-    # join_skew_diagnosis, ml_classification_metrics, ml_auc_rank) --
+    # join_skew_diagnosis, ml_classification_metrics, ml_auc_rank — and
+    # the four llm_round5f queries — events_cusum_drift,
+    # graph_triangle_clustering, join_bloom_prefilter,
+    # orders_market_basket) --
     "agg_bloom_membership",
 )
 
@@ -7607,5 +7610,6 @@ from . import llm_round5b  # noqa: E402,F401  (bloom / count-min / blocklist / m
 from . import llm_round5c  # noqa: E402,F401  (RRF fusion / snapshot diff / join-size estimate / ORC sink / skyline)
 from . import llm_round5d  # noqa: E402,F401  (PMI / curriculum / incremental MV / preference pairs / diversity / Gini)
 from . import llm_round5e  # noqa: E402,F401  (interpolation / negative sampling / skew diagnosis / classification metrics / AUC)
+from . import llm_round5f  # noqa: E402,F401  (CUSUM drift / triangles / bloom-prefilter join / market basket)
 
 _reorder_registry()

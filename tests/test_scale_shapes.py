@@ -703,3 +703,38 @@ def test_auc_window_runs_on_distinct_score_frame(spark, sf_dir):
     plan = _plan(REGISTRY["ml_auc_rank"].fn(spark, sf_dir))
     assert plan.count("documents.parquet]") == 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+# --- round-5 sixth-batch pins ------------------------------------------------
+
+def test_cusum_windows_ride_checkpointed_rollup(spark, sf_dir):
+    # the hourly rollup is checkpointed (stats aggregate + windows); the
+    # cumsum and running-min share one partition-by-series sort.
+    plan = _plan(REGISTRY["events_cusum_drift"].fn(spark, sf_dir))
+    assert "events.parquet]" not in plan  # reads the checkpoint
+    assert "BroadcastHashJoin" in plan  # tiny per-series stats join
+
+
+def test_triangle_join_runs_on_checkpointed_edges(spark, sf_dir):
+    # degrees and the three-way triangle join all consume the DISTINCT
+    # edge checkpoint; the event log is scanned only to build cells.
+    plan = _plan(REGISTRY["graph_triangle_clustering"].fn(spark, sf_dir))
+    assert "events.parquet]" not in plan  # reads the checkpoint
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_broadcasts_bits(spark, sf_dir):
+    # the bit table and the dim broadcast; the fact side never shuffles
+    # for the prefilter itself (the per-key hit count is its only agg).
+    plan = _plan(REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_market_basket_single_fact_scan(spark, sf_dir):
+    # the items frame is checkpointed: basket count, marginals, and the
+    # pair self-join all read it; lineitem is scanned exactly once.
+    plan = _plan(REGISTRY["orders_market_basket"].fn(spark, sf_dir))
+    assert "lineitem.parquet]" not in plan  # reads the checkpoint
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

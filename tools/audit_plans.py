@@ -40,6 +40,14 @@ EXCHANGE_BUDGET = 8
 
 # Queries whose flagged shape is understood and documented where it arises.
 KNOWN = {
+    "join_bloom_prefilter": "the K semi joins broadcast the SAME kilobyte bit "
+                            "table (ReusedExchange at runtime: 8 reuses, 9 hash "
+                            "exchanges all on 1-row verdict frames); the fact "
+                            "table never shuffles before its count aggregates",
+    "orders_market_basket": "pairwise Apriori level: a bounded-frame self-join "
+                            "plus marginal re-aggregations of the checkpointed "
+                            "items frame — every exchange moves vocabulary- or "
+                            "basket-key-sized data, never the fact table",
     "join_full_outer_nation_stats": "full outer join cannot broadcast; SMJ is correct",
     "setops_segments": "three set operations = three distinct shuffles each",
     "dedup_near_composed": "repeated candidate subtree collapses via ReusedExchange "
