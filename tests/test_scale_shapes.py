@@ -738,3 +738,32 @@ def test_market_basket_single_fact_scan(spark, sf_dir):
     assert "lineitem.parquet]" not in plan  # reads the checkpoint
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-5 seventh-batch pins ----------------------------------------------
+
+def test_scd2_apply_single_dim_scan(spark, sf_dir):
+    # the dimension is scanned once (checkpointed); all four branches —
+    # closed, reopened, inserted, untouched — derive from it.
+    plan = _plan(REGISTRY["scd2_apply_changes"].fn(spark, sf_dir))
+    assert "customer.parquet]" not in plan  # reads the checkpoint
+    assert "Union" in plan
+    assert "Exchange hashpartitioning" not in plan  # pure map-side apply
+
+
+def test_ablation_one_scan_expand_no_joins(spark, sf_dir):
+    # every rule is an expression on one checkpointed scan; the unpivot
+    # is a map-side explode and the report aggregate partial-combines.
+    plan = _plan(REGISTRY["corpus_quality_ablation_report"].fn(spark, sf_dir))
+    assert "documents.parquet]" not in plan  # reads the checkpoint
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_psi_both_distributions_from_one_aggregate(spark, sf_dir):
+    # FILTER-style conditional counts put both distributions in ONE
+    # checkpointed token aggregate — the corpus is never scanned twice
+    # (the totals fold and the term fold both read the checkpoint).
+    plan = _plan(REGISTRY["corpus_psi_drift"].fn(spark, sf_dir))
+    assert "documents.parquet]" not in plan  # reads the checkpoint
+    assert "partial_sum" in plan
