@@ -7585,9 +7585,11 @@ _DRIVER_WINDOW_FIRST = (
     # join_skew_diagnosis, ml_classification_metrics, ml_auc_rank — and
     # the four llm_round5f queries — events_cusum_drift,
     # graph_triangle_clustering, join_bloom_prefilter,
-    # orders_market_basket — and the three llm_round5g queries —
+    # orders_market_basket — the three llm_round5g queries —
     # scd2_apply_changes, corpus_quality_ablation_report,
-    # corpus_psi_drift) --
+    # corpus_psi_drift — and the four llm_round5h queries —
+    # ml_calibration_ece, events_markov_transitions,
+    # orders_rfm_segmentation, orders_cohort_ltv) --
     "agg_bloom_membership",
 )
 
@@ -7614,5 +7616,6 @@ from . import llm_round5d  # noqa: E402,F401  (PMI / curriculum / incremental MV
 from . import llm_round5e  # noqa: E402,F401  (interpolation / negative sampling / skew diagnosis / classification metrics / AUC)
 from . import llm_round5f  # noqa: E402,F401  (CUSUM drift / triangles / bloom-prefilter join / market basket)
 from . import llm_round5g  # noqa: E402,F401  (SCD2 apply / quality ablation / PSI drift)
+from . import llm_round5h  # noqa: E402,F401  (calibration ECE / Markov transitions / RFM / cohort LTV)
 
 _reorder_registry()

@@ -767,3 +767,37 @@ def test_psi_both_distributions_from_one_aggregate(spark, sf_dir):
     plan = _plan(REGISTRY["corpus_psi_drift"].fn(spark, sf_dir))
     assert "documents.parquet]" not in plan  # reads the checkpoint
     assert "partial_sum" in plan
+
+
+# --- round-5 eighth-batch pins -----------------------------------------------
+
+def test_calibration_aggregates_to_fixed_bucket_frame(spark, sf_dir):
+    # one map-side-combined aggregate onto the fixed-width bucket frame;
+    # the ECE fold and report both read the checkpoint.
+    plan = _plan(REGISTRY["ml_calibration_ece"].fn(spark, sf_dir))
+    assert "documents.parquet]" not in plan  # reads the checkpoint
+    assert "SortMergeJoin" not in plan
+
+
+def test_markov_one_user_shuffle(spark, sf_dir):
+    # the sequence window is the only event-sized exchange; the
+    # transition aggregate and marginal join ride the checkpoint.
+    plan = _plan(REGISTRY["events_markov_transitions"].fn(spark, sf_dir))
+    assert "events.parquet]" not in plan  # reads the checkpoint
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_windows_run_on_customer_frame(spark, sf_dir):
+    # the fact table collapses to the customer frame before any ntile;
+    # the anchor is a broadcast scalar.
+    plan = _plan(REGISTRY["orders_rfm_segmentation"].fn(spark, sf_dir))
+    assert "orders.parquet]" not in plan  # reads the checkpoint
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cohort_ltv_single_fact_scan(spark, sf_dir):
+    # the rollup and the join side both read ONE checkpointed fact scan;
+    # the cumsum window runs on the cohort x month frame.
+    plan = _plan(REGISTRY["orders_cohort_ltv"].fn(spark, sf_dir))
+    assert "orders.parquet]" not in plan  # reads the checkpoint
+    assert "Window" in plan
