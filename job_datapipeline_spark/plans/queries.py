@@ -7589,7 +7589,10 @@ _DRIVER_WINDOW_FIRST = (
     # scd2_apply_changes, corpus_quality_ablation_report,
     # corpus_psi_drift — and the four llm_round5h queries —
     # ml_calibration_ece, events_markov_transitions,
-    # orders_rfm_segmentation, orders_cohort_ltv) --
+    # orders_rfm_segmentation, orders_cohort_ltv — and the four
+    # llm_round5i queries — events_active_users,
+    # orders_abc_classification, events_session_window_native,
+    # text_readability_scores) --
     "agg_bloom_membership",
 )
 
@@ -7617,5 +7620,6 @@ from . import llm_round5e  # noqa: E402,F401  (interpolation / negative sampling
 from . import llm_round5f  # noqa: E402,F401  (CUSUM drift / triangles / bloom-prefilter join / market basket)
 from . import llm_round5g  # noqa: E402,F401  (SCD2 apply / quality ablation / PSI drift)
 from . import llm_round5h  # noqa: E402,F401  (calibration ECE / Markov transitions / RFM / cohort LTV)
+from . import llm_round5i  # noqa: E402,F401  (DAU-WAU-MAU / ABC classes / native session windows / readability)
 
 _reorder_registry()

@@ -801,3 +801,36 @@ def test_cohort_ltv_single_fact_scan(spark, sf_dir):
     plan = _plan(REGISTRY["orders_cohort_ltv"].fn(spark, sf_dir))
     assert "orders.parquet]" not in plan  # reads the checkpoint
     assert "Window" in plan
+
+
+# --- round-5 ninth-batch pins ------------------------------------------------
+
+def test_active_users_range_join_on_distinct_frame(spark, sf_dir):
+    # DAU and both range joins consume the checkpointed (day, user)
+    # DISTINCT frame, never the raw event log; the day spine broadcasts.
+    plan = _plan(REGISTRY["events_active_users"].fn(spark, sf_dir))
+    assert "events.parquet]" not in plan  # reads the checkpoint
+    assert "BroadcastNestedLoopJoin" in plan  # range join vs broadcast spine
+
+
+def test_abc_cumsum_runs_on_part_frame(spark, sf_dir):
+    # the fact table collapses to the part dimension before the running
+    # sum; the totals scalar broadcasts back.
+    plan = _plan(REGISTRY["orders_abc_classification"].fn(spark, sf_dir))
+    assert "lineitem.parquet]" not in plan  # reads the checkpoint
+    assert "Window" in plan
+
+
+def test_session_window_single_user_shuffle(spark, sf_dir):
+    # the native operator compiles to one hash exchange on user_id plus
+    # sort — identical cost to the islands rewrite.
+    plan = _plan(REGISTRY["events_session_window_native"].fn(spark, sf_dir))
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_readability_rides_the_scan(spark, sf_dir):
+    # pure map-side expressions: no exchange except the output sort.
+    plan = _plan(REGISTRY["text_readability_scores"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet]") == 1
+    assert "Exchange hashpartitioning" not in plan

@@ -40,6 +40,11 @@ EXCHANGE_BUDGET = 8
 
 # Queries whose flagged shape is understood and documented where it arises.
 KNOWN = {
+    "events_active_users": "exact sliding DISTINCT cannot partial-aggregate: "
+                           "DAU + two countDistinct windows each pay their "
+                           "two-phase exchange, all on the bounded (day, user) "
+                           "checkpoint — never the event log; the sketch "
+                           "escalation is documented in the operator",
     "join_bloom_prefilter": "the K semi joins broadcast the SAME kilobyte bit "
                             "table (ReusedExchange at runtime: 8 reuses, 9 hash "
                             "exchanges all on 1-row verdict frames); the fact "
