@@ -7592,7 +7592,9 @@ _DRIVER_WINDOW_FIRST = (
     # orders_rfm_segmentation, orders_cohort_ltv — and the four
     # llm_round5i queries — events_active_users,
     # orders_abc_classification, events_session_window_native,
-    # text_readability_scores) --
+    # text_readability_scores — and the four llm_round5j queries —
+    # events_new_user_growth, agg_weighted_median,
+    # orders_interpurchase_gaps, events_bot_detection) --
     "agg_bloom_membership",
 )
 
@@ -7621,5 +7623,6 @@ from . import llm_round5f  # noqa: E402,F401  (CUSUM drift / triangles / bloom-p
 from . import llm_round5g  # noqa: E402,F401  (SCD2 apply / quality ablation / PSI drift)
 from . import llm_round5h  # noqa: E402,F401  (calibration ECE / Markov transitions / RFM / cohort LTV)
 from . import llm_round5i  # noqa: E402,F401  (DAU-WAU-MAU / ABC classes / native session windows / readability)
+from . import llm_round5j  # noqa: E402,F401  (new-user growth / weighted median / purchase gaps / bot detection)
 
 _reorder_registry()

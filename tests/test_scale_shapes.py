@@ -834,3 +834,37 @@ def test_readability_rides_the_scan(spark, sf_dir):
     plan = _plan(REGISTRY["text_readability_scores"].fn(spark, sf_dir))
     assert plan.count("documents.parquet]") == 1
     assert "Exchange hashpartitioning" not in plan
+
+
+# --- round-5 tenth-batch pins ------------------------------------------------
+
+def test_new_user_growth_rollups_share_checkpoint(spark, sf_dir):
+    # DAU and the first-seen frame both read the (day, user) checkpoint;
+    # the news join broadcasts and the cumsum runs on the day spine.
+    plan = _plan(REGISTRY["events_new_user_growth"].fn(spark, sf_dir))
+    assert "events.parquet]" not in plan  # reads the checkpoint
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_median_cumsum_on_value_frame(spark, sf_dir):
+    # the cumsum runs on the (group, value) pre-aggregate, never raw
+    # rows; the per-group totals broadcast back.
+    plan = _plan(REGISTRY["agg_weighted_median"].fn(spark, sf_dir))
+    assert "lineitem.parquet]" not in plan  # reads the checkpoint
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interpurchase_gaps_dim_broadcast(spark, sf_dir):
+    # the segment dim broadcasts onto the lag output; percentile cuts
+    # run on the checkpointed (segment, gap) frame.
+    plan = _plan(REGISTRY["orders_interpurchase_gaps"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bot_detection_one_user_shuffle(spark, sf_dir):
+    # the planted bot is a generated Range scan (never a Python RDD);
+    # the lag window is the only event-sized exchange.
+    plan = _plan(REGISTRY["events_bot_detection"].fn(spark, sf_dir))
+    assert "Range (0" in plan  # in-plan row generation
+    assert plan.count("Exchange hashpartitioning") <= 2
