@@ -7594,7 +7594,9 @@ _DRIVER_WINDOW_FIRST = (
     # orders_abc_classification, events_session_window_native,
     # text_readability_scores — and the four llm_round5j queries —
     # events_new_user_growth, agg_weighted_median,
-    # orders_interpurchase_gaps, events_bot_detection) --
+    # orders_interpurchase_gaps, events_bot_detection — and the four
+    # llm_round5k queries — orders_open_interval_sweep, agg_mode_exact,
+    # events_error_rate_slo, orders_seasonality_index) --
     "agg_bloom_membership",
 )
 
@@ -7624,5 +7626,6 @@ from . import llm_round5g  # noqa: E402,F401  (SCD2 apply / quality ablation / P
 from . import llm_round5h  # noqa: E402,F401  (calibration ECE / Markov transitions / RFM / cohort LTV)
 from . import llm_round5i  # noqa: E402,F401  (DAU-WAU-MAU / ABC classes / native session windows / readability)
 from . import llm_round5j  # noqa: E402,F401  (new-user growth / weighted median / purchase gaps / bot detection)
+from . import llm_round5k  # noqa: E402,F401  (interval sweep / exact mode / SLO budget / seasonality index)
 
 _reorder_registry()

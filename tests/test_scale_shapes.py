@@ -868,3 +868,36 @@ def test_bot_detection_one_user_shuffle(spark, sf_dir):
     plan = _plan(REGISTRY["events_bot_detection"].fn(spark, sf_dir))
     assert "Range (0" in plan  # in-plan row generation
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# --- round-5 eleventh-batch pins ----------------------------------------------
+
+def test_sweep_cumsum_on_date_domain(spark, sf_dir):
+    # deltas partial-aggregate to the date-domain frame before the one
+    # running sum; the fact join is the only fact-sized work.
+    plan = _plan(REGISTRY["orders_open_interval_sweep"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mode_window_on_value_frame(spark, sf_dir):
+    # the rank window consumes the (group, value) count frame, never
+    # raw rows; one fact scan total.
+    plan = _plan(REGISTRY["agg_mode_exact"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet]") == 1
+    assert "partial_count" in plan
+
+
+def test_slo_single_rollup_one_sort(spark, sf_dir):
+    # FILTER counts put errors and totals in the same rollup; both
+    # running sums share one window sort over the day spine.
+    plan = _plan(REGISTRY["events_error_rate_slo"].fn(spark, sf_dir))
+    assert plan.count("events.parquet]") == 1
+    assert plan.count("Window") == 1
+
+
+def test_seasonality_calendar_frames_broadcast(spark, sf_dir):
+    # daily -> monthly rollups are calendar-sized; the totals broadcast.
+    plan = _plan(REGISTRY["orders_seasonality_index"].fn(spark, sf_dir))
+    assert "orders.parquet]" not in plan  # reads the checkpoint
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
