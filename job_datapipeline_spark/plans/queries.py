@@ -7596,7 +7596,9 @@ _DRIVER_WINDOW_FIRST = (
     # events_new_user_growth, agg_weighted_median,
     # orders_interpurchase_gaps, events_bot_detection — and the four
     # llm_round5k queries — orders_open_interval_sweep, agg_mode_exact,
-    # events_error_rate_slo, orders_seasonality_index) --
+    # events_error_rate_slo, orders_seasonality_index — and the five
+    # llm_round5l queries — events_ewma_daily, orders_survival_km,
+    # orders_trend_ols, agg_benford_audit, embedding_gram_matrix) --
     "agg_bloom_membership",
 )
 
@@ -7627,5 +7629,7 @@ from . import llm_round5h  # noqa: E402,F401  (calibration ECE / Markov transiti
 from . import llm_round5i  # noqa: E402,F401  (DAU-WAU-MAU / ABC classes / native session windows / readability)
 from . import llm_round5j  # noqa: E402,F401  (new-user growth / weighted median / purchase gaps / bot detection)
 from . import llm_round5k  # noqa: E402,F401  (interval sweep / exact mode / SLO budget / seasonality index)
+from . import llm_round5l  # noqa: E402,F401  (EWMA / Kaplan-Meier / OLS trend / Benford / Gram matrix)
+from . import llm_round5m  # noqa: E402,F401  (A/B z-test / chi2 independence / affinity / sparse cosine / cascade delete)
 
 _reorder_registry()
