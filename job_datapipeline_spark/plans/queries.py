@@ -7631,5 +7631,6 @@ from . import llm_round5j  # noqa: E402,F401  (new-user growth / weighted median
 from . import llm_round5k  # noqa: E402,F401  (interval sweep / exact mode / SLO budget / seasonality index)
 from . import llm_round5l  # noqa: E402,F401  (EWMA / Kaplan-Meier / OLS trend / Benford / Gram matrix)
 from . import llm_round5m  # noqa: E402,F401  (A/B z-test / chi2 independence / affinity / sparse cosine / cascade delete)
+from . import llm_round5n  # noqa: E402,F401  (grid NN geo join / KS test / Mann-Whitney / trimmed mean)
 
 _reorder_registry()
