@@ -7632,5 +7632,6 @@ from . import llm_round5k  # noqa: E402,F401  (interval sweep / exact mode / SLO
 from . import llm_round5l  # noqa: E402,F401  (EWMA / Kaplan-Meier / OLS trend / Benford / Gram matrix)
 from . import llm_round5m  # noqa: E402,F401  (A/B z-test / chi2 independence / affinity / sparse cosine / cascade delete)
 from . import llm_round5n  # noqa: E402,F401  (grid NN geo join / KS test / Mann-Whitney / trimmed mean)
+from . import llm_round5o  # noqa: E402,F401  (RAKE keyphrases / Z-order tiles / scan provenance / bin packing)
 
 _reorder_registry()
