@@ -352,7 +352,7 @@ def events_jaccard_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sparse tf-idf cosine top-k
 # ---------------------------------------------------------------------------
 
-_COS_DF_CAP = 25  # inverted-index pruning: only terms with df <= cap join
+_COS_DF_PCT = 5  # inverted-index pruning: terms with df <= 5% of corpus join
 _COS_TOPK = 3
 
 
@@ -375,7 +375,7 @@ _COS_TOPK = 3
                tf.tf * CAST(round(1000.0 * ln(CAST(n.n_docs AS DOUBLE)
                                               / df.df)) AS BIGINT) AS w
         FROM tf JOIN df USING (tok) CROSS JOIN n
-        WHERE df.df <= {_COS_DF_CAP}
+        WHERE df.df <= greatest(1, n.n_docs * {_COS_DF_PCT} // 100)
     ),
     norms AS (
         SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
@@ -408,12 +408,14 @@ _COS_TOPK = 3
     """,
     doc=f"Sparse tf-idf cosine top-{_COS_TOPK}: all-pairs document "
         "similarity through an inverted-index join restricted to RARE "
-        f"terms (df <= {_COS_DF_CAP}) — the pruning that bounds "
-        "candidate pairs by sum(df^2) over the surviving vocabulary "
-        "instead of |docs|^2, exactly how sparse similarity search "
-        "stays tractable at corpus scale (hot terms carry ~zero idf "
-        "signal AND generate the quadratic blowup, so the cap costs "
-        "little recall and buys the whole bound). idf quantizes to "
+        f"terms (df <= {_COS_DF_PCT}% of the corpus — RELATIVE, so the "
+        "pruning neither degenerates on a small-vocabulary corpus nor "
+        "loosens as the corpus grows) — the cap bounds candidate "
+        "pairs by sum(df^2) over the surviving vocabulary instead of "
+        "|docs|^2, exactly how sparse similarity search stays "
+        "tractable at corpus scale (hot terms carry ~zero idf signal "
+        "AND generate the quadratic blowup, so the cap costs little "
+        "recall and buys the whole bound). idf quantizes to "
         "milli-int ONCE (the text_tfidf_top_terms round-before-"
         "compare device, absorbing cross-engine ln ulp), after which "
         "weights, dot products and squared norms are all EXACT "
@@ -432,8 +434,13 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
     weights = (
         tf.join(df, "tok")
-        .filter(F.col("df") <= _COS_DF_CAP)
         .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(1), F.floor(F.col("n_docs") * _COS_DF_PCT / 100)
+            )
+        )
         .select(
             "doc_id",
             "tok",

@@ -14,7 +14,7 @@ from job_datapipeline_spark.catalog import table
 from job_datapipeline_spark.plans.queries import REGISTRY  # noqa: F401
 from job_datapipeline_spark.plans.llm_round5m import (  # noqa: E402
     _AB_Z_CRIT,
-    _COS_DF_CAP,
+    _COS_DF_PCT,
     _COS_TOPK,
     _DELETE_MOD,
 )
@@ -154,11 +154,12 @@ def test_sparse_cosine_topk_matches_pure_python(spark):
         for t in counts:
             df[t] += 1
     n_docs = len(docs)
+    cap = max(1, n_docs * _COS_DF_PCT // 100)
     weights: dict = defaultdict(dict)
     postings: dict = defaultdict(list)
     for doc_id, counts in tf.items():
         for t, k in counts.items():
-            if df[t] <= _COS_DF_CAP:
+            if df[t] <= cap:
                 w = k * _round_half_away(1000.0 * math.log(n_docs / df[t]))
                 weights[doc_id][t] = w
                 postings[t].append(doc_id)
