@@ -7633,5 +7633,6 @@ from . import llm_round5l  # noqa: E402,F401  (EWMA / Kaplan-Meier / OLS trend /
 from . import llm_round5m  # noqa: E402,F401  (A/B z-test / chi2 independence / affinity / sparse cosine / cascade delete)
 from . import llm_round5n  # noqa: E402,F401  (grid NN geo join / KS test / Mann-Whitney / trimmed mean)
 from . import llm_round5o  # noqa: E402,F401  (RAKE keyphrases / Z-order tiles / scan provenance / bin packing)
+from . import llm_round5p  # noqa: E402,F401  (MMR diverse top-k / duplicate invoices / reorder rate)
 
 _reorder_registry()
