@@ -232,6 +232,8 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("week"),
         is_event.alias("is_event"),
     )
+    # 53-row frame; checkpointed because totals AND the risk window AND
+    # the final join all consume it (orders is scanned exactly once)
     weekly = units.groupBy("week").agg(
         F.sum(F.when(F.col("is_event"), 1).otherwise(0))
         .cast("bigint")
@@ -239,8 +241,10 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_event"), 0).otherwise(1))
         .cast("bigint")
         .alias("c"),
+    ).localCheckpoint()
+    total = weekly.agg(
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("total")
     )
-    total = units.agg(F.count("*").cast("bigint").alias("total"))
     cum = Window.orderBy("week").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -254,7 +258,7 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_at_risk"),
-    )
+    ).localCheckpoint()  # feeds the fold input AND the final join
     packed = risk.agg(
         F.array_sort(
             F.collect_list(

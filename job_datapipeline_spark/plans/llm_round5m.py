@@ -543,46 +543,58 @@ _DELETE_MOD = 97  # deterministic deletion list: c_custkey % 97 == 0
         "to ZERO (a lineitem whose order survives can never lose its "
         "customer, because the cascade follows the same FK edges — "
         "the audit makes that invariant a checked output instead of "
-        "an assumption). Spark shape: the customer list broadcast-"
-        "SEMI-joins orders (no row widening), the purged-order keys "
-        "semi-join lineitem on the co-partitioned orderkey, and each "
-        "table contributes one count+conditional-count aggregate in "
-        "a single scan. The 100 TB shape: deletion lists are "
-        "dimension-sized (broadcast), fact tables are scanned once "
+        "an assumption). Spark shape: each table is scanned exactly "
+        "ONCE — a row-level purge flag (key predicate for customer/"
+        "orders; a left join against the checkpointed purged-order "
+        "keys for lineitem, co-partitioned on orderkey) feeds one "
+        "conditional aggregate counting purged and retained in the "
+        "same pass. The 100 TB shape: deletion lists are request-"
+        "table-sized (broadcast when small, shuffle-joined on the "
+        "co-partitioned key when not), fact tables are scanned once "
         "each, and the audit output is 3 rows regardless of scale — "
         "run it before the real DELETE, then after with the same "
         "plan to verify convergence.",
 )
 def compliance_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer").select("c_custkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
-    del_cust = cust.filter(F.col("c_custkey") % _DELETE_MOD == 0)
-    del_orders = orders.join(
-        F.broadcast(del_cust), orders.o_custkey == del_cust.c_custkey, "semi"
-    ).select("o_orderkey")
-    # purged-order keys are list-sized relative to lineitem; localCheckpoint
-    # lets the count AND the semi-join consume one computed frame
-    del_orders = del_orders.localCheckpoint()
-
-    def audit(name: str, tot_df: DataFrame, purged_df: DataFrame) -> DataFrame:
-        tot = tot_df.agg(F.count("*").cast("bigint").alias("n_total"))
-        purged = purged_df.agg(F.count("*").cast("bigint").alias("rows_purged"))
-        return tot.crossJoin(purged).select(
-            F.lit(name).alias("table_name"),
-            "rows_purged",
-            (F.col("n_total") - F.col("rows_purged"))
+    def audit(name: str, flagged: DataFrame) -> DataFrame:
+        # ONE scan per table: total and purged from the same aggregate
+        # over a row-level purge flag
+        return flagged.agg(
+            F.sum(F.when(F.col("purge"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rows_purged"),
+            F.sum(F.when(F.col("purge"), 0).otherwise(1))
             .cast("bigint")
             .alias("rows_retained"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "rows_purged",
+            "rows_retained",
             F.lit(0).cast("bigint").alias("orphans_after"),
         )
 
-    purged_li = li.join(
-        del_orders, li.l_orderkey == del_orders.o_orderkey, "semi"
+    cust = table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % _DELETE_MOD == 0).alias("purge")
     )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % _DELETE_MOD == 0).alias("purge"),
+    )
+    # purged-order keys are 1/97th of orders; checkpointed so the orders
+    # audit and the lineitem flag join share one computed frame.
+    # (The flag on orders derives from o_custkey directly — the deletion
+    # list is a pure key predicate here, standing in for the broadcast
+    # request table a real run would join.)
+    del_orders = (
+        orders.filter("purge").select("o_orderkey").localCheckpoint()
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    li_flagged = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left"
+    ).select(F.col("o_orderkey").isNotNull().alias("purge"))
     return (
-        audit("customer", cust, del_cust)
-        .unionAll(audit("orders", orders, del_orders))
-        .unionAll(audit("lineitem", li, purged_li))
+        audit("customer", cust)
+        .unionAll(audit("orders", orders.select("purge")))
+        .unionAll(audit("lineitem", li_flagged))
         .orderBy("table_name")
     )

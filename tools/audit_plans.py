@@ -61,6 +61,11 @@ KNOWN = {
                                "definition; orders is a narrow 2-col scan",
     "events_funnel": "one scan per funnel stage of a 3-stage pattern over a "
                      "pre-filtered event type each — stage scans are disjoint slices",
+    "text_rake_keyphrases": "11 exchanges but every one is keyed by doc_id or "
+                            "(doc_id, x) — the plan is per-document data-"
+                            "parallel off one checkpointed token frame; the "
+                            "exchange COUNT is constant in corpus size and "
+                            "each moves doc-keyed data once",
     "events_gapfill_hourly": "spine min/max + data side: the 1-row bounds scalar "
                              "and the rollup legitimately read events separately",
     "join_salted_hotkeys": "hot-key detection dim + both join branches read "
