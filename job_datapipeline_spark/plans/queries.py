@@ -7635,5 +7635,6 @@ from . import llm_round5n  # noqa: E402,F401  (grid NN geo join / KS test / Mann
 from . import llm_round5o  # noqa: E402,F401  (RAKE keyphrases / Z-order tiles / scan provenance / bin packing)
 from . import llm_round5p  # noqa: E402,F401  (MMR diverse top-k / duplicate invoices / reorder rate)
 from . import llm_round5q  # noqa: E402,F401  (Holt smoothing / k-core peel / Theil-Sen)
+from . import llm_round5r  # noqa: E402,F401  (feature scaling / TWAP / aging buckets)
 
 _reorder_registry()
