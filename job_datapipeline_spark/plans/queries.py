@@ -7636,5 +7636,6 @@ from . import llm_round5o  # noqa: E402,F401  (RAKE keyphrases / Z-order tiles /
 from . import llm_round5p  # noqa: E402,F401  (MMR diverse top-k / duplicate invoices / reorder rate)
 from . import llm_round5q  # noqa: E402,F401  (Holt smoothing / k-core peel / Theil-Sen)
 from . import llm_round5r  # noqa: E402,F401  (feature scaling / TWAP / aging buckets)
+from . import llm_round5s  # noqa: E402,F401  (item-item CF / ABC-XYZ / seasonal anomalies)
 
 _reorder_registry()
