@@ -7637,5 +7637,6 @@ from . import llm_round5p  # noqa: E402,F401  (MMR diverse top-k / duplicate inv
 from . import llm_round5q  # noqa: E402,F401  (Holt smoothing / k-core peel / Theil-Sen)
 from . import llm_round5r  # noqa: E402,F401  (feature scaling / TWAP / aging buckets)
 from . import llm_round5s  # noqa: E402,F401  (item-item CF / ABC-XYZ / seasonal anomalies)
+from . import llm_round5t  # noqa: E402,F401  (matched cohort / star mart build / cycle time)
 
 _reorder_registry()
