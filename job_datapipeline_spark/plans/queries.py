@@ -7598,7 +7598,23 @@ _DRIVER_WINDOW_FIRST = (
     # llm_round5k queries — orders_open_interval_sweep, agg_mode_exact,
     # events_error_rate_slo, orders_seasonality_index — and the five
     # llm_round5l queries — events_ewma_daily, orders_survival_km,
-    # orders_trend_ols, agg_benford_audit, embedding_gram_matrix) --
+    # orders_trend_ols, agg_benford_audit, embedding_gram_matrix — and
+    # the five llm_round5m queries — events_ab_test_ztest,
+    # agg_chi2_independence, events_jaccard_affinity,
+    # text_sparse_cosine_topk, compliance_cascade_delete — the four
+    # llm_round5n queries — geo_nearest_supplier, agg_ks_test,
+    # agg_mann_whitney, agg_trimmed_mean — the four llm_round5o
+    # queries — text_rake_keyphrases, layout_zorder_tiles,
+    # audit_scan_provenance, compaction_bin_packing — the three
+    # llm_round5p queries — ann_mmr_diverse_topk,
+    # orders_duplicate_invoices, part_reorder_rate — the three
+    # llm_round5q queries — events_holt_forecast, graph_kcore_peel,
+    # orders_theil_sen_trend — the three llm_round5r queries —
+    # ml_feature_scaling, events_twap_daily, orders_aging_buckets —
+    # the three llm_round5s queries — recsys_item_item_cf,
+    # orders_abc_xyz_matrix, orders_seasonal_anomaly — and the three
+    # llm_round5t queries — causal_matched_cohort,
+    # mart_star_schema_build, orders_cycle_time_trend) --
     "agg_bloom_membership",
 )
 
@@ -7638,5 +7654,6 @@ from . import llm_round5q  # noqa: E402,F401  (Holt smoothing / k-core peel / Th
 from . import llm_round5r  # noqa: E402,F401  (feature scaling / TWAP / aging buckets)
 from . import llm_round5s  # noqa: E402,F401  (item-item CF / ABC-XYZ / seasonal anomalies)
 from . import llm_round5t  # noqa: E402,F401  (matched cohort / star mart build / cycle time)
+from . import llm_round5u  # noqa: E402,F401  (price waterfall / supplier scorecard / attribution models)
 
 _reorder_registry()
