@@ -7655,5 +7655,6 @@ from . import llm_round5r  # noqa: E402,F401  (feature scaling / TWAP / aging bu
 from . import llm_round5s  # noqa: E402,F401  (item-item CF / ABC-XYZ / seasonal anomalies)
 from . import llm_round5t  # noqa: E402,F401  (matched cohort / star mart build / cycle time)
 from . import llm_round5u  # noqa: E402,F401  (price waterfall / supplier scorecard / attribution models)
+from . import llm_round5v  # noqa: E402,F401  (backfill planner / embedding isotropy / RLE paths)
 
 _reorder_registry()
