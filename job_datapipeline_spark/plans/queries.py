@@ -7656,5 +7656,6 @@ from . import llm_round5s  # noqa: E402,F401  (item-item CF / ABC-XYZ / seasonal
 from . import llm_round5t  # noqa: E402,F401  (matched cohort / star mart build / cycle time)
 from . import llm_round5u  # noqa: E402,F401  (price waterfall / supplier scorecard / attribution models)
 from . import llm_round5v  # noqa: E402,F401  (backfill planner / embedding isotropy / RLE paths)
+from . import llm_round5w  # noqa: E402,F401  (bucketed-layout co-located join)
 
 _reorder_registry()
