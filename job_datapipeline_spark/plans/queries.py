@@ -7657,5 +7657,6 @@ from . import llm_round5t  # noqa: E402,F401  (matched cohort / star mart build 
 from . import llm_round5u  # noqa: E402,F401  (price waterfall / supplier scorecard / attribution models)
 from . import llm_round5v  # noqa: E402,F401  (backfill planner / embedding isotropy / RLE paths)
 from . import llm_round5w  # noqa: E402,F401  (bucketed-layout co-located join)
+from . import llm_round5x  # noqa: E402,F401  (Gaussian-mixture EM / revenue bridge)
 
 _reorder_registry()
