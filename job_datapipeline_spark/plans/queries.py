@@ -61,16 +61,24 @@ def _scratch_dir(key: str) -> str:
     multimodal fixtures) previously mkdtemp'd a fresh dir per invocation and
     never cleaned up, so repeated gate runs accumulated temp data on disk.
     Keying by a per-call-site name under one root keeps disk usage bounded
-    (at most one copy per query) while the wipe preserves the fresh-dir
-    semantics streaming checkpoints rely on: a reused checkpoint would
-    resume from the prior run's committed offsets and emit zero rows.
+    (at most one copy per query per process) while the wipe preserves the
+    fresh-dir semantics streaming checkpoints rely on: a reused checkpoint
+    would resume from the prior run's committed offsets and emit zero rows.
+
+    The root is keyed by user AND pid: two harness processes running
+    concurrently (e.g. the gate mirror and pytest) would otherwise share
+    one root, and process A's wipe-on-call can delete process B's fixture
+    between its write and its read-back — observed once as a
+    file-not-found in ops_backfill_planner. Per-pid roots make concurrent
+    runs independent; disk stays bounded per process and the tmpdir
+    reaper handles abandoned pids.
     """
     import getpass
     import shutil
     import tempfile
 
     root = _os_path.join(
-        tempfile.gettempdir(), f"jdp_scratch_{getpass.getuser()}"
+        tempfile.gettempdir(), f"jdp_scratch_{getpass.getuser()}_{_os.getpid()}"
     )
     path = _os_path.join(root, key)
     shutil.rmtree(path, ignore_errors=True)
