@@ -66,6 +66,14 @@ KNOWN = {
                             "parallel off one checkpointed token frame; the "
                             "exchange COUNT is constant in corpus size and "
                             "each moves doc-keyed data once",
+    "recsys_item_item_cf": "9 exchanges, all after the 1-in-10 sample + hot "
+                           "cap shrink the frame: dedup, cap filter, the "
+                           "customer-keyed pair self-join (both sides of the "
+                           "checkpointed frame), the (a,b) partial-combined "
+                           "count, and the per-part top-k window — the CF "
+                           "algorithm's irreducible stages, every one moving "
+                           "sampled candidate data (measured 0.36% of naive "
+                           "pair space, SCALE_GROWTH.md)",
     "events_gapfill_hourly": "spine min/max + data side: the 1-row bounds scalar "
                              "and the rollup legitimately read events separately",
     "join_salted_hotkeys": "hot-key detection dim + both join branches read "
