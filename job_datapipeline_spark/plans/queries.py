@@ -7666,5 +7666,6 @@ from . import llm_round5u  # noqa: E402,F401  (price waterfall / supplier scorec
 from . import llm_round5v  # noqa: E402,F401  (backfill planner / embedding isotropy / RLE paths)
 from . import llm_round5w  # noqa: E402,F401  (bucketed-layout co-located join)
 from . import llm_round5x  # noqa: E402,F401  (Gaussian-mixture EM / revenue bridge)
+from . import llm_round5y  # noqa: E402,F401  (customer feature-store build)
 
 _reorder_registry()
