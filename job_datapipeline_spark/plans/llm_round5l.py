@@ -493,7 +493,13 @@ def agg_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("digit")
     )
-    obs = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    # 9-row frame; checkpointed because the expectation join AND the
+    # total both consume it (orders is scanned exactly once)
+    obs = (
+        digits.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+        .localCheckpoint()
+    )
     tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
     diff = F.lit(1_000_000.0) * F.coalesce(F.col("n_obs"), F.lit(0)) - (
         F.col("n") * F.col("p_micro")

@@ -309,17 +309,28 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
         F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
     ).filter(F.col("event_type") == "purchase")
-    first = ordered.select(
-        F.lit("first_touch").alias("model"),
-        F.coalesce(F.col("first_touch"), F.lit("(none)")).alias("channel"),
-    )
-    last = ordered.select(
-        F.lit("last_touch").alias("model"),
-        F.coalesce(F.col("last_touch"), F.lit("(none)")).alias("channel"),
-    )
+    # both models unpivot from ONE pass (a unionAll of two selects would
+    # recompute the scan + window per branch — caught by the plan pin)
+    credits = ordered.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.coalesce(F.col("first_touch"), F.lit("(none)")).alias(
+                        "channel"
+                    ),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce(F.col("last_touch"), F.lit("(none)")).alias(
+                        "channel"
+                    ),
+                ),
+            )
+        ).alias("credit")
+    ).select("credit.model", "credit.channel")
     return (
-        first.unionAll(last)
-        .groupBy("model", "channel")
+        credits.groupBy("model", "channel")
         .agg(F.count("*").cast("bigint").alias("credits"))
         .orderBy("model", "channel")
     )

@@ -901,3 +901,75 @@ def test_seasonality_calendar_frames_broadcast(spark, sf_dir):
     plan = _plan(REGISTRY["orders_seasonality_index"].fn(spark, sf_dir))
     assert "orders.parquet]" not in plan  # reads the checkpoint
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gram_matrix_broadcast_fanout_no_shuffle_of_facts(spark, sf_dir):
+    # the 136-cell index frame broadcasts; vectors never shuffle before
+    # partial aggregation collapses them onto the cell frame.
+    plan = _plan(REGISTRY["embedding_gram_matrix"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("embeddings.parquet]") == 1
+    assert "partial_sum" in plan
+
+
+def test_geo_join_is_cell_hash_join_not_cartesian(spark, sf_dir):
+    # the 3x3 ring fan-out is a broadcast on the probe side; the
+    # candidate join is a HASH join on the cell key, never all-pairs.
+    plan = _plan(REGISTRY["geo_nearest_supplier"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cf_pair_join_single_fact_scans(spark, sf_dir):
+    # the sampled (customer, part) frame is checkpointed: both sides of
+    # the pair self-join read the checkpoint, so lineitem and orders are
+    # scanned once each.
+    plan = _plan(REGISTRY["recsys_item_item_cf"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet]") <= 1
+    assert plan.count("orders.parquet]") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_sparse_cosine_postings_checkpointed(spark, sf_dir):
+    # weights feed norms AND both dot-product sides off one checkpoint;
+    # the raw documents scan appears at most twice (tf + corpus count).
+    plan = _plan(REGISTRY["text_sparse_cosine_topk"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet]") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_scaling_stats_broadcast_back(spark, sf_dir):
+    # group stats broadcast onto rows: z and min-max are map-side after
+    # one stats exchange; only the rank window sorts.
+    plan = _plan(REGISTRY["ml_feature_scaling"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1
+
+
+def test_survival_km_single_orders_scan(spark, sf_dir):
+    # weekly frame checkpointed for totals + risk window + final join:
+    # orders is scanned at most once (0 when the eager checkpoint has
+    # already swallowed the scan at plan-build time).
+    plan = _plan(REGISTRY["orders_survival_km"].fn(spark, sf_dir))
+    assert plan.count("orders.parquet]") <= 1
+
+
+def test_attribution_one_user_sort_serves_both_models(spark, sf_dir):
+    # first-touch and last-touch unpivot from ONE pass: a single scan
+    # and a single Window node over one user shuffle (the unionAll form
+    # recomputed both — this pin caught it).
+    plan = _plan(REGISTRY["events_attribution_models"].fn(spark, sf_dir))
+    assert plan.count("events.parquet]") == 1
+    assert plan.count("Window") == 1
+
+
+def test_benford_nine_row_broadcasts(spark, sf_dir):
+    # the digit aggregate partial-combines onto 9 cells, checkpointed so
+    # the expectation join and the total share it: at most one scan.
+    plan = _plan(REGISTRY["agg_benford_audit"].fn(spark, sf_dir))
+    assert plan.count("orders.parquet]") <= 1
+    # the digit count's partial agg lives inside the eager checkpoint;
+    # the visible plan partial-combines the total off the 9-row frame
+    assert "partial_sum" in plan or "partial_count" in plan
