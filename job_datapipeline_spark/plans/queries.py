@@ -7667,5 +7667,6 @@ from . import llm_round5v  # noqa: E402,F401  (backfill planner / embedding isot
 from . import llm_round5w  # noqa: E402,F401  (bucketed-layout co-located join)
 from . import llm_round5x  # noqa: E402,F401  (Gaussian-mixture EM / revenue bridge)
 from . import llm_round5y  # noqa: E402,F401  (customer feature-store build)
+from . import llm_round5z  # noqa: E402,F401  (forecast backtest / discount lift / Little's law)
 
 _reorder_registry()
