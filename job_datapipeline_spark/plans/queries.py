@@ -7668,5 +7668,6 @@ from . import llm_round5w  # noqa: E402,F401  (bucketed-layout co-located join)
 from . import llm_round5x  # noqa: E402,F401  (Gaussian-mixture EM / revenue bridge)
 from . import llm_round5y  # noqa: E402,F401  (customer feature-store build)
 from . import llm_round5z  # noqa: E402,F401  (forecast backtest / discount lift / Little's law)
+from . import llm_round5aa  # noqa: E402,F401  (perceptual image dHash near-dedup)
 
 _reorder_registry()

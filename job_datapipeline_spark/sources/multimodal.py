@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -622,3 +623,61 @@ def resize_image_features(
 
     ensure_shipped(df.sparkSession)
     return df.mapInPandas(gen, RESIZED_IMAGE_SCHEMA)
+
+
+DHASH_IMAGE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def dhash_bits(lum, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash of a luminance matrix: nearest-neighbor resize to
+    (hash_h, hash_w + 1), then bit (y, x) = 1 iff pixel (y, x) > pixel
+    (y, x + 1) — the standard dHash, fully integer-deterministic given
+    the deterministic NN resample. Bits pack row-major, MSB first, into
+    one int (64 bits at the default 8x8), returned as SIGNED two's
+    complement so it round-trips through int64 columns."""
+    rs = resize_nearest(lum, hash_w + 1, hash_h)
+    h = 0
+    for y in range(hash_h):
+        for x in range(hash_w):
+            h = (h << 1) | (1 if int(rs[y][x]) > int(rs[y][x + 1]) else 0)
+    if h >= 1 << (hash_w * hash_h - 1):
+        h -= 1 << (hash_w * hash_h)
+    return h
+
+
+def dhash_image_features(
+    df: DataFrame,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    matrix_decoder: Callable = bmp_luminance_matrix,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual difference-hash stage: binary rows -> (path, dhash int64).
+    Arrow-batched mapInPandas; undecodable blobs yield a null hash. The
+    dHash is the workhorse of image near-dedup: brightness/contrast shifts
+    preserve horizontal gradients, so shifted copies collide while
+    different images land far in Hamming space."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                lum = matrix_decoder(bytes(content) if content is not None else b"")
+                rows.append(
+                    {
+                        "path": path,
+                        "dhash": None
+                        if lum is None
+                        else dhash_bits(lum, hash_w, hash_h),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "dhash"])
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(gen, DHASH_IMAGE_SCHEMA)
