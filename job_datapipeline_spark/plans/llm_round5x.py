@@ -148,9 +148,13 @@ def _em_oracle() -> str:
         "any engine, which unquantized float-sum EM cannot promise. "
         "Fixed iteration count is the bounded-rounds device "
         "(convergence is monitorable: iteration k == k-1). Ceilings: "
-        "r_micro * d^2 with d in hecto-dollars holds int64 to ~1.5e6 "
-        "rows (sf0.1); beyond, drop responsibility to milli or d to "
-        "kilo-dollars — a precision/scale dial, stated not hidden. "
+        "r_micro * d^2 with d in hecto-dollars outgrows int64 near "
+        "~1.5e6 rows — MEASURED as an overflow on the sf1 ladder — so "
+        "the weighted second moments accumulate in decimal(38,0) "
+        "(exact, mergeable; DuckDB's bigint sum widens to hugeint on "
+        "its own), good past 1e20 rows; the narrower dials "
+        "(responsibility to milli, d to kilo-dollars) remain if "
+        "decimal aggregation cost ever matters. "
         "The 100 TB shape: each iteration is one scan with a "
         "broadcast 1-row parameter frame (localCheckpointed so "
         "iteration k+1 never recomputes k), all seven accumulators "
@@ -222,12 +226,19 @@ def ml_em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((1_000_000 - F.col("r")) * F.col("d"))
             .cast("bigint")
             .alias("s2"),
-            F.sum(F.col("r") * F.col("d") * F.col("d"))
-            .cast("bigint")
+            # the weighted second moments are the one accumulator pair
+            # that outgrows int64 (r_micro * d^2 summed over ~1.5e6 rows
+            # — MEASURED as an ARITHMETIC_OVERFLOW on the sf1 ladder,
+            # exactly at the ceiling the docstring states): decimal(38,0)
+            # sums stay exact and mergeable; DuckDB's bigint sum already
+            # widens to hugeint, so the engines agree
+            F.sum((F.col("r") * F.col("d") * F.col("d")).cast("decimal(38,0)"))
             .alias("q1"),
-            F.sum((1_000_000 - F.col("r")) * F.col("d") * F.col("d"))
-            .cast("bigint")
-            .alias("q2"),
+            F.sum(
+                ((1_000_000 - F.col("r")) * F.col("d") * F.col("d")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("q2"),
             F.count("*").cast("bigint").alias("n"),
         )
         w_new = F.col("m1").cast("double") / (1_000_000.0 * F.col("n"))

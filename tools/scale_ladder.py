@@ -68,6 +68,13 @@ LADDER_QUERIES = [
     "topk_orders_per_customer",
     "agg_percentiles_approx",
     "join_salted_skew",
+    # round-5 final-wave heavies: the two candidate-generating operators
+    # (customer-sampled CF pairs; grid-cell NN candidates), the
+    # corpus-sized exact-rank baseline, and the 3-pass EM
+    "recsys_item_item_cf",
+    "geo_nearest_supplier",
+    "ml_feature_scaling",
+    "ml_em_gaussian_mixture",
 ]
 
 
