@@ -7669,5 +7669,6 @@ from . import llm_round5x  # noqa: E402,F401  (Gaussian-mixture EM / revenue bri
 from . import llm_round5y  # noqa: E402,F401  (customer feature-store build)
 from . import llm_round5z  # noqa: E402,F401  (forecast backtest / discount lift / Little's law)
 from . import llm_round5aa  # noqa: E402,F401  (perceptual image dHash near-dedup)
+from . import llm_round5bb  # noqa: E402,F401  (integer-Viterbi burst detection)
 
 _reorder_registry()
