@@ -7670,5 +7670,6 @@ from . import llm_round5y  # noqa: E402,F401  (customer feature-store build)
 from . import llm_round5z  # noqa: E402,F401  (forecast backtest / discount lift / Little's law)
 from . import llm_round5aa  # noqa: E402,F401  (perceptual image dHash near-dedup)
 from . import llm_round5bb  # noqa: E402,F401  (integer-Viterbi burst detection)
+from . import llm_round5cc  # noqa: E402,F401  (SPC p-chart / difference-in-differences)
 
 _reorder_registry()
