@@ -277,9 +277,11 @@ _MIX_WEIGHTS_SQL = ", ".join(
     ),
     rates AS (
         SELECT a.lang, a.avail_tokens, a.avail_docs, w.weight_pm,
-               least(1000000,
+               -- CAST: DuckDB widens sum() to HUGEINT, which pandas
+               -- renders as float64 and trips dtype-strict value hashing
+               CAST(least(1000000,
                      (sum(a.avail_tokens) OVER () * {_MIX_BUDGET_SHARE_PCT}
-                      * w.weight_pm) // (100 * a.avail_tokens)) AS rate_micro
+                      * w.weight_pm) // (100 * a.avail_tokens)) AS BIGINT) AS rate_micro
         FROM avail a JOIN w ON w.lang = a.lang
     ),
     sampled AS (
@@ -1298,7 +1300,8 @@ _CDC_SHIFT = "zz qq"  # 2-token prefix inserted into the planted copies
     SELECT CAST(count(*) AS BIGINT) AS n_copies,
            CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
            CAST(sum(n_matched) AS BIGINT) AS matched_chunks,
-           (sum(n_matched) * 1000) // sum(n_chunks) AS matched_permille
+           -- CAST: HUGEINT-derived quotient renders float64 in pandas otherwise
+           CAST((sum(n_matched) * 1000) // sum(n_chunks) AS BIGINT) AS matched_permille
     FROM perdoc
     """,
     doc="Content-defined chunking (FastCDC/rolling-hash family): a chunk "

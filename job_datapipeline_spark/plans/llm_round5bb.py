@@ -34,6 +34,34 @@ _BURST_GAMMA_MILLI = 2000  # burst-entry penalty: 2 nats, pinned
 _BURST_MAX_DAYS = 62  # bitmask backtracking capacity (shard beyond)
 
 
+def _capacity_guard():
+    """Loud runtime guard on the 62-day bitmask capacity.
+
+    The path0/path1 backpointers shift left one bit per day, so a series
+    longer than ``_BURST_MAX_DAYS`` days would silently wrap int64 (wrong
+    burst mask) while the DuckDB oracle errors on overflow — a
+    silent-vs-loud divergence.  Fail loudly on BOTH engines instead:
+    beyond the capacity the series must be sharded (e.g. per-quarter
+    sub-series, stitched on the boundary).  Returns a guarded replacement
+    for the ``meta`` column (expects ``event_type`` alongside).
+    """
+    return F.when(
+        F.size("meta") <= _BURST_MAX_DAYS, F.col("meta")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "events_burst_viterbi: series exceeds "
+                    f"{_BURST_MAX_DAYS}-day bitmask capacity for "
+                    "event_type="
+                ),
+                F.col("event_type"),
+                F.lit(" — shard the series before decoding"),
+            )
+        )
+    )
+
+
 @register(
     "events_burst_viterbi",
     oracle=f"""
@@ -165,6 +193,7 @@ def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lnlam1_milli",
         )
         .agg(F.array_sort(F.collect_list(F.struct("day", "n"))).alias("meta"))
+        .withColumn("meta", _capacity_guard())
     )
     zero = F.lit(0).cast("long")
     one = F.lit(1).cast("long")

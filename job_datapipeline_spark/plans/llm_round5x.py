@@ -96,8 +96,15 @@ def _em_oracle() -> str:
                CAST(sum(1000000 - r) AS BIGINT) AS m2,
                CAST(sum(r * d) AS BIGINT) AS s1,
                CAST(sum((1000000 - r) * d) AS BIGINT) AS s2,
-               CAST(sum(r * d * d) AS BIGINT) AS q1,
-               CAST(sum((1000000 - r) * d * d) AS BIGINT) AS q2,
+               -- no BIGINT cast: DuckDB's sum() widens to HUGEINT on its
+               -- own (exact past 1e20), mirroring the Spark side's
+               -- decimal(38,0) accumulators; casting back to BIGINT would
+               -- raise out-of-range at the very sf1 scale the int64
+               -- overflow was measured at.  q1/q2 are only ever consumed
+               -- via CAST(... AS DOUBLE) below, so HUGEINT never reaches
+               -- the compared output schema.
+               sum(r * d * d) AS q1,
+               sum((1000000 - r) * d * d) AS q2,
                CAST(count(*) AS BIGINT) AS n
         FROM resp{it}
     ),

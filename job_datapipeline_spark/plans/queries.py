@@ -54,6 +54,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+_SCRATCH_ROOTS: set[str] = set()
+
+
 def _scratch_dir(key: str) -> str:
     """A stable per-query scratch directory, wiped on every call.
 
@@ -70,16 +73,49 @@ def _scratch_dir(key: str) -> str:
     one root, and process A's wipe-on-call can delete process B's fixture
     between its write and its read-back — observed once as a
     file-not-found in ops_backfill_planner. Per-pid roots make concurrent
-    runs independent; disk stays bounded per process and the tmpdir
-    reaper handles abandoned pids.
+    runs independent. Disk stays bounded across invocations two ways (a
+    '/tmp reaper' is not guaranteed on Linux hosts): this process's root
+    is rmtree'd at interpreter exit, and stale sibling roots whose pid no
+    longer exists are swept on first use.
     """
+    import atexit
     import getpass
     import shutil
     import tempfile
 
+    user = getpass.getuser()
     root = _os_path.join(
-        tempfile.gettempdir(), f"jdp_scratch_{getpass.getuser()}_{_os.getpid()}"
+        tempfile.gettempdir(), f"jdp_scratch_{user}_{_os.getpid()}"
     )
+    if root not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        # Sweep siblings left by crashed/killed processes: a root named
+        # for a pid that is no longer alive can never be wiped by its
+        # owner.  kill(pid, 0) probes liveness without signalling; EPERM
+        # means the pid exists but belongs to another user — leave it.
+        prefix = f"jdp_scratch_{user}_"
+        try:
+            for entry in _os.listdir(tempfile.gettempdir()):
+                if not entry.startswith(prefix):
+                    continue
+                try:
+                    pid = int(entry[len(prefix):])
+                except ValueError:
+                    continue
+                if pid == _os.getpid():
+                    continue
+                try:
+                    _os.kill(pid, 0)
+                except ProcessLookupError:
+                    shutil.rmtree(
+                        _os_path.join(tempfile.gettempdir(), entry),
+                        ignore_errors=True,
+                    )
+                except OSError:
+                    continue
+        except OSError:
+            pass
     path = _os_path.join(root, key)
     shutil.rmtree(path, ignore_errors=True)
     _os.makedirs(path, exist_ok=True)

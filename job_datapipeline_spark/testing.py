@@ -64,6 +64,12 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 problems.append(f"col {c}: {ne} mismatches e.g. {sv2[idx]!r} vs {ov2[idx]!r}")
     for c in s.columns:
         skind, okind = s[c].dtype.kind, o[c].dtype.kind
-        if skind != okind and {skind, okind} != {"i", "f"}:
+        if skind != okind:
+            # int-vs-float pairs are flagged too: the external gate's value
+            # hash is computed on the RENDERED frame, so an oracle column
+            # DuckDB widened to HUGEINT (pandas float64: "877.0") mismatches
+            # a Spark bigint ("877") even when every value is numerically
+            # equal.  Exempting the pair here is exactly the hole that let
+            # two un-CAST sum()-derived oracle columns ship red in round 5.
             problems.append(f"col {c}: dtype kind spark={s[c].dtype} oracle={o[c].dtype}")
     return problems
