@@ -1,0 +1,286 @@
+"""Distributed total-order primitives: global row numbers, running sums,
+exact ntiles, exact rank picks, and ordered-neighbor carries — WITHOUT a
+single-partition window.
+
+Spark executes ``Window.orderBy(...)`` with no ``partitionBy`` on ONE
+partition (WindowExec warns "Moving all data to a single partition"), so
+a global row_number / cumsum / ntile over a frame that grows with the
+data is the canonical scale anti-pattern (docs/SCALING.md).  This module
+is the escalation that doc promises, as real code: the classic two-pass
+partials+offsets form.
+
+1. ``repartitionByRange`` on the order key — each partition holds a
+   contiguous key range and partition ids ascend with the ranges, so pid
+   order IS global key order between partitions — then ``localCheckpoint``
+   to pin the partitioning: repartitionByRange estimates boundaries by
+   sampling, and pinning guarantees the offsets pass and the value pass
+   see the SAME partitioning even when a stage is recomputed.
+2. A per-partition partial (count / running-sum total / edge payloads):
+   P rows, P = spark.sql.shuffle.partitions — bounded by cluster sizing,
+   never by data volume.
+3. Exclusive prefix offsets over that P-row frame via a triangular LEFT
+   self-join (``b.pid < a.pid``): O(P^2) comparisons, trivially small,
+   and deliberately window-free so plan audits can assert the composed
+   queries contain ZERO unpartitioned WindowExec nodes.
+4. The within-partition pass — ``Window.partitionBy(pid).orderBy(keys)``,
+   fully parallel — combined with the broadcast per-partition offset.
+
+Determinism contract: ``order_cols`` must be a TOTAL order (callers pin
+ties with a key column, exactly as their hash-matched oracle SQL does).
+
+Reference parity: none — the reference (glassdoor-scraper/src/main.py)
+is single-process pandas, where a global cumsum is a one-liner; this is
+the distributed re-expression of that capability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_jdp_pid"
+
+OrderCol = Column | str
+
+
+def _cols(order_cols: Sequence[OrderCol]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def stamp_range_partitions(
+    df: DataFrame, order_cols: Sequence[OrderCol]
+) -> DataFrame:
+    """Range-partition ``df`` by ``order_cols`` and stamp the pinned
+    partition id (see module docstring, steps 1-2)."""
+    part = df.repartitionByRange(*_cols(order_cols)).withColumn(
+        _PID, F.spark_partition_id().cast("long")
+    )
+    return part.localCheckpoint()
+
+
+def _prefix_offsets(partials: DataFrame, agg_col: str) -> DataFrame:
+    """Exclusive prefix total of ``agg_col`` per pid over a P-row partials
+    frame, via the window-free triangular left self-join."""
+    a = partials.alias("a")
+    b = partials.alias("b")
+    return (
+        a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(
+            F.coalesce(F.sum(F.col(f"b.{agg_col}")), F.lit(0).cast("long")).alias(
+                "_off"
+            )
+        )
+    )
+
+
+def _numbered(
+    part: DataFrame, order_cols: Sequence[OrderCol], rn_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core: global row numbers over a stamped frame, plus the
+    per-pid counts frame (reused by callers needing the total)."""
+    counts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
+    offsets = _prefix_offsets(counts, "_cnt")
+    w = Window.partitionBy(_PID).orderBy(*_cols(order_cols))
+    numbered = (
+        part.join(F.broadcast(offsets), _PID)
+        .withColumn(rn_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_off")
+    )
+    return numbered, counts
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    *,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` in two distributed
+    passes instead of a single-partition window."""
+    part = stamp_range_partitions(df, order_cols)
+    numbered, _ = _numbered(part, order_cols, rn_col)
+    return numbered.drop(_PID)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    value_col: str,
+    *,
+    out_col: str = "cum",
+) -> DataFrame:
+    """``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
+    (bigint values) as per-partition running sums plus a broadcast
+    exclusive prefix-total per partition."""
+    part = stamp_range_partitions(df, order_cols)
+    partials = part.groupBy(_PID).agg(
+        F.sum(value_col).cast("long").alias("_sum")
+    )
+    offsets = _prefix_offsets(partials, "_sum")
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            out_col, F.sum(value_col).over(w).cast("long") + F.col("_off")
+        )
+        .drop(_PID, "_off")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    k: int,
+    *,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact SQL ``NTILE(k) OVER (ORDER BY order_cols)`` from the
+    distributed row number: with n rows, ``base = n div k`` and
+    ``rem = n mod k``, buckets 1..rem hold base+1 rows and the rest hold
+    base — the standard NTILE fill, derived per row from rn and a
+    broadcast 1-row total.  No global sort anywhere."""
+    part = stamp_range_partitions(df, order_cols)
+    rn = "_jdp_rn"
+    numbered, counts = _numbered(part, order_cols, rn)
+    total = counts.groupBy().agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_n")
+    )
+    base = F.floor(F.col("_n") / k)  # rows in a short bucket
+    rem = F.col("_n") % k  # number of long (base+1) buckets, first
+    in_long = F.col(rn) <= rem * (base + 1)
+    bucket = (
+        F.when(in_long, F.floor((F.col(rn) - 1) / (base + 1)) + 1).otherwise(
+            rem + F.floor((F.col(rn) - rem * (base + 1) - 1) / base) + 1
+        )
+    ).cast("int")
+    return (
+        numbered.crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket)
+        .drop(_PID, rn, "_n")
+    )
+
+
+def exact_rank_values(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    rank_exprs: Sequence[Callable[[Column], Column]],
+    *,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Rows sitting at exact global ranks (e.g. the p25/p75 picks an EM
+    initializer needs), where each requested rank is an expression of the
+    total row count n (handed in as a Column) — fully in-plan, no
+    driver-side action.
+
+    Only partitions whose (offset, offset+count] span contains a
+    requested rank enter the sort window — the rest are pruned before the
+    shuffle, so the cost is O(n/P log(n/P)) on a handful of partitions
+    rather than a global sort.  Returns the matching rows with their
+    global rank in ``rn_col``."""
+    part = stamp_range_partitions(df, order_cols)
+    counts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
+    offsets = _prefix_offsets(counts, "_cnt").join(counts, _PID)
+    total = counts.groupBy().agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_n")
+    )
+    n = F.col("_n")
+    hit = None
+    for rk in rank_exprs:
+        c = (rk(n) > F.col("_off")) & (rk(n) <= F.col("_off") + F.col("_cnt"))
+        hit = c if hit is None else (hit | c)
+    cand = (
+        offsets.crossJoin(F.broadcast(total)).where(hit).select(_PID, "_off", "_n")
+    )
+    w = Window.partitionBy(_PID).orderBy(*_cols(order_cols))
+    numbered = part.join(F.broadcast(cand), _PID).withColumn(
+        rn_col, F.row_number().over(w) + F.col("_off")
+    )
+    keep = None
+    for rk in rank_exprs:
+        c = F.col(rn_col) == rk(n)
+        keep = c if keep is None else (keep | c)
+    return numbered.where(keep).drop(_PID, "_off", "_n")
+
+
+def ordered_neighbor_carry(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    flag_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """For every row, the payload of the nearest PRECEDING and FOLLOWING
+    row (in global ``order_cols`` order) whose ``flag_col`` is true — the
+    sort-merge nearest-neighbor device (as-of matching, matched cohorts)
+    without the single-partition window.
+
+    Within each range partition a partitioned last/first IGNORE NULLS
+    window finds the local neighbor; the cross-partition carry comes from
+    a P-row edge table (each partition's first/last flagged payload)
+    turned into per-pid carry-ins by the same triangular self-join the
+    prefix sums use.  Adds ``_prev_<col>`` / ``_next_<col>`` per payload
+    column (null when no flagged row exists on that side)."""
+    part = stamp_range_partitions(df, order_cols)
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    ord_struct = F.struct(*_cols(order_cols))
+    pids = part.groupBy(_PID).agg(F.count("*").alias("_cnt")).select(_PID)
+    edges = (
+        part.where(F.col(flag_col))
+        .groupBy(_PID)
+        .agg(
+            F.max_by(payload, ord_struct).alias("_last"),
+            F.min_by(payload, ord_struct).alias("_first"),
+        )
+    )
+    a = pids.alias("a")
+    b = edges.alias("b")
+    carry_prev = (
+        a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.max_by(F.col("b._last"), F.col(f"b.{_PID}")).alias("_carry_prev"))
+    )
+    carry_next = (
+        a.join(b, F.col(f"b.{_PID}") > F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.min_by(F.col("b._first"), F.col(f"b.{_PID}")).alias("_carry_next"))
+    )
+    carry = carry_prev.join(carry_next, _PID)
+    wp = (
+        Window.partitionBy(_PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy(_PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    local_payload = F.when(F.col(flag_col), payload)
+    out = (
+        part.join(F.broadcast(carry), _PID)
+        .withColumn(
+            "_prev_p",
+            F.coalesce(
+                F.last(local_payload, ignorenulls=True).over(wp),
+                F.col("_carry_prev"),
+            ),
+        )
+        .withColumn(
+            "_next_p",
+            F.coalesce(
+                F.first(local_payload, ignorenulls=True).over(wn),
+                F.col("_carry_next"),
+            ),
+        )
+    )
+    for c in payload_cols:
+        out = out.withColumn(f"_prev_{c}", F.col("_prev_p")[c]).withColumn(
+            f"_next_{c}", F.col("_next_p")[c]
+        )
+    return out.drop(_PID, "_carry_prev", "_carry_next", "_prev_p", "_next_p")

@@ -34,6 +34,34 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+def single_partition_windows(df) -> list[str]:
+    """Return the physical-plan lines of any WindowExec fed by an
+    ``Exchange SinglePartition`` — the "Moving all data to a single
+    partition" anti-pattern (an unpartitioned ``Window.orderBy``).
+
+    A SinglePartition exchange under a final scalar HashAggregate is fine
+    (partials combine map-side; one row moves); the same exchange under a
+    Window/Sort moves EVERY row to one task, so only the Window shape is
+    flagged.  In the printed tree a global window is::
+
+        Window [...windowspecdefinition(...)], [key ASC]
+        +- Sort [...], false, 0
+           +- Exchange SinglePartition
+
+    so the detector looks for ``Exchange SinglePartition`` within the two
+    tree lines following a Window node."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, line in enumerate(lines):
+        if "Window" not in line or "windowspecdefinition" not in line:
+            continue
+        tail = lines[i + 1 : i + 3]
+        if any("Exchange SinglePartition" in t for t in tail):
+            hits.append(line.strip())
+    return hits
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     """Return a list of human-readable diffs; empty list == match."""
     problems: list[str] = []
