@@ -60,19 +60,26 @@ def stamp_range_partitions(
     return part.localCheckpoint()
 
 
-def _prefix_offsets(partials: DataFrame, agg_col: str) -> DataFrame:
-    """Exclusive prefix total of ``agg_col`` per pid over a P-row partials
-    frame, via the window-free triangular left self-join."""
+def _prefix_offsets(
+    partials: DataFrame, agg_cols: Sequence[str] | str
+) -> DataFrame:
+    """Exclusive prefix total of each ``agg_col`` per pid over a P-row
+    partials frame, via the window-free triangular left self-join.  A
+    single column yields ``_off``; multiple yield ``_off_<col>``."""
+    single = isinstance(agg_cols, str)
+    cols = [agg_cols] if single else list(agg_cols)
     a = partials.alias("a")
     b = partials.alias("b")
+    aggs = [
+        F.coalesce(F.sum(F.col(f"b.{c}")), F.lit(0).cast("long")).alias(
+            "_off" if single else f"_off_{c}"
+        )
+        for c in cols
+    ]
     return (
         a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
         .groupBy(F.col(f"a.{_PID}").alias(_PID))
-        .agg(
-            F.coalesce(F.sum(F.col(f"b.{agg_col}")), F.lit(0).cast("long")).alias(
-                "_off"
-            )
-        )
+        .agg(*aggs)
     )
 
 
@@ -108,30 +115,40 @@ def global_row_number(
 def global_cumsum(
     df: DataFrame,
     order_cols: Sequence[OrderCol],
-    value_col: str,
+    value_col: str | Sequence[str],
     *,
-    out_col: str = "cum",
+    out_col: str | Sequence[str] = "cum",
 ) -> DataFrame:
     """``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
     (bigint values) as per-partition running sums plus a broadcast
-    exclusive prefix-total per partition."""
+    exclusive prefix-total per partition.  Accepts one value column or a
+    list — multiple running sums share ONE range shuffle and one
+    partitioned window (the KS statistic needs two over the same
+    order)."""
+    single = isinstance(value_col, str)
+    value_cols = [value_col] if single else list(value_col)
+    out_cols = [out_col] if single else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col/out_col length mismatch")
     part = stamp_range_partitions(df, order_cols)
     partials = part.groupBy(_PID).agg(
-        F.sum(value_col).cast("long").alias("_sum")
+        *[F.sum(c).cast("long").alias(c) for c in value_cols]
     )
-    offsets = _prefix_offsets(partials, "_sum")
+    offsets = _prefix_offsets(partials, list(value_cols))
     w = (
         Window.partitionBy(_PID)
         .orderBy(*_cols(order_cols))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        part.join(F.broadcast(offsets), _PID)
-        .withColumn(
-            out_col, F.sum(value_col).over(w).cast("long") + F.col("_off")
+    out = part.join(F.broadcast(offsets), _PID)
+    drops = [_PID]
+    for vc, oc in zip(value_cols, out_cols):
+        off = f"_off_{vc}"
+        out = out.withColumn(
+            oc, F.sum(vc).over(w).cast("long") + F.col(off)
         )
-        .drop(_PID, "_off")
-    )
+        drops.append(off)
+    return out.drop(*drops)
 
 
 def exact_ntile(

@@ -212,24 +212,30 @@ _CURRICULUM_BUDGET = 4_000  # tokens per phase
         "budget), so each training phase holds a fixed token budget of "
         "progressively lower-quality data. Output is the per-phase "
         "manifest (doc count, token sum, score range). The 100 TB shape: "
-        "the global ORDER BY is a range-partitioned sort (Spark's sort "
-        "shuffle samples boundaries), and the running sum distributes as "
-        "per-partition partials + a tiny broadcast prefix-offset table — "
-        "the two-pass form documented for window cumsum at scale; the "
-        "phase cut then never compares rows across partitions again. "
+        "the running sum EXECUTES as operators/ranks.global_cumsum — "
+        "repartitionByRange on (score DESC, doc_id), per-partition "
+        "running sums under a PARTITIONED window, and a broadcast P-row "
+        "exclusive prefix-offset table — so no stage ever moves the "
+        "corpus to a single partition (the unpartitioned-window form "
+        "this replaced was the SCALING.md anti-pattern); the phase cut "
+        "then never compares rows across partitions again. "
         "Score and phase arithmetic are exact integers (one rounded IEEE "
         "division for the score), so phase boundaries are engine-exact.",
 )
 def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_cumsum
+
     scored = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
         _score_micro(),
     )
-    w = Window.orderBy(F.col("score_micro").desc(), "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = global_cumsum(
+        scored,
+        [F.col("score_micro").desc(), "doc_id"],
+        "n_tokens",
+        out_col="cum_tokens",
     )
-    cum = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         cum.withColumn(
             "phase",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import exact_ntile
 from .queries import register
 from .llm_round5d import _SCORE_SQL, _score_micro
 
@@ -246,13 +247,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "break ties by customer key), composed into the familiar "
         "3-digit segment (555 = best). Output is the segment census. "
         "The 100 TB shape: one partial-aggregatable rollup collapses "
-        "the fact table to the customer frame; the three ntile windows "
-        "run on that frame — and because ntile needs a total order, the "
-        "documented scale escalation replaces it with pre-computed "
-        "quintile BOUNDARIES (approx_percentile or the exact "
-        "distinct-value frame) joined broadcast, turning the sort into "
-        "a map-side bucket lookup; at this dimension size the direct "
-        "window is the right plan. The 1-row anchor is a broadcast "
+        "the fact table to the customer frame; each quintile EXECUTES "
+        "as operators/ranks.exact_ntile — distributed row numbers "
+        "(range partition + partitioned window + broadcast prefix "
+        "offsets) turned into the exact SQL NTILE fill with a "
+        "broadcast 1-row total — so no score moves the customer frame "
+        "to a single partition. The 1-row anchor is a broadcast "
         "scalar, not a correlated re-scan.",
 )
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,22 +269,27 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # feeds the anchor AND the scoring windows
     )
     anchor = per_cust.agg(F.max("last_order").alias("mx"))
-    scored = (
+    base = (
         per_cust.crossJoin(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("mx", "last_order"))
-        .select(
-            "k",
-            F.ntile(5)
-            .over(Window.orderBy(F.col("recency_days").desc(), "k"))
-            .alias("r_score"),
-            F.ntile(5)
-            .over(Window.orderBy("frequency", "k"))
-            .alias("f_score"),
-            F.ntile(5)
-            .over(Window.orderBy("monetary_cents", "k"))
-            .alias("m_score"),
-        )
+        .select("k", "recency_days", "frequency", "monetary_cents")
     )
+    scored = exact_ntile(
+        exact_ntile(
+            exact_ntile(
+                base,
+                [F.col("recency_days").desc(), "k"],
+                5,
+                out_col="r_score",
+            ),
+            ["frequency", "k"],
+            5,
+            out_col="f_score",
+        ),
+        ["monetary_cents", "k"],
+        5,
+        out_col="m_score",
+    ).select("k", "r_score", "f_score", "m_score")
     return (
         scored.groupBy(
             (

@@ -176,14 +176,15 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anywhere near a classification boundary; the output shares are "
         "display-only rounded divisions. The 100 TB shape: one "
         "partial-aggregatable rollup collapses the fact table to the "
-        "part dimension; the running sum is the only global sort, over "
-        "that dimension frame, with the same range-partitioned "
-        "two-pass cumsum escalation documented for the curriculum "
-        "scheduler; the totals scalar broadcasts. Output is the "
-        "3-row class census.",
+        "part dimension; the running sum EXECUTES as operators/"
+        "ranks.global_cumsum (range partition on (cents DESC, part), "
+        "partitioned per-partition running sums, broadcast prefix "
+        "offsets) — no single-partition window anywhere in the plan; "
+        "the totals scalar broadcasts. Output is the 3-row class "
+        "census.",
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.ranks import global_cumsum
 
     rev = (
         table(spark, sf_dir, "lineitem")
@@ -195,10 +196,9 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds the total AND the ranked cumsum
     )
-    w = Window.orderBy(F.col("cents").desc(), "part").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = global_cumsum(
+        rev, [F.col("cents").desc(), "part"], "cents", out_col="cum_cents"
     )
-    ranked = rev.withColumn("cum_cents", F.sum("cents").over(w).cast("bigint"))
     tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "cents",

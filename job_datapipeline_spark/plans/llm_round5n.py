@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import global_cumsum
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -237,11 +238,13 @@ _KS_CRIT_MICRO2 = 1_844_164  # (1.358)^2 * 1e6, two-sided alpha=0.05, pinned
         "value via one deterministic double expression over exact "
         "integers. The 100 TB shape: one filtered scan partial-"
         "aggregates both groups' counts per value in the SAME pass "
-        "(FILTER counts), the two running sums share one sort over "
-        "the value domain, and the max reduces map-side; value-domain "
-        "cardinality (not row count) bounds the window stage, and "
-        "bucketing values (e.g. to dollars) bounds THAT at any scale "
-        "with quantified D error <= bucket width x density.",
+        "(FILTER counts); both running sums EXECUTE as one operators/"
+        "ranks.global_cumsum call — one range shuffle, partitioned "
+        "windows, broadcast prefix offsets, no single-partition stage "
+        "even though the value domain is near row cardinality — and "
+        "the max reduces map-side; bucketing values (e.g. to dollars) "
+        "shrinks the domain further at any scale with quantified D "
+        "error <= bucket width x density.",
 )
 def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (
@@ -260,11 +263,13 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds the cumsum AND the totals
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = vals.select(
-        F.sum("d1").over(w).cast("bigint").alias("c1"),
-        F.sum("d2").over(w).cast("bigint").alias("c2"),
-    )
+    # Both ECDF running sums share one range shuffle + partitioned window
+    # (operators/ranks.global_cumsum) — the value-domain frame is near
+    # row cardinality (distinct cents), so the single-partition window
+    # this replaced was the SCALING.md anti-pattern.
+    cum = global_cumsum(
+        vals, ["v"], ["d1", "d2"], out_col=["c1", "c2"]
+    ).select("c1", "c2")
     tot = vals.agg(
         F.sum("d1").cast("bigint").alias("n1"),
         F.sum("d2").cast("bigint").alias("n2"),
@@ -349,8 +354,10 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(t^3 - t) (also an exact integer) and is ONE closed-form "
         "double expression at the end. The 100 TB shape: identical to "
         "the KS plan — one filtered scan, per-value FILTER counts, "
-        "one running sum over the value domain, five algebraic "
-        "accumulators; the value-domain window is the only sort.",
+        "one running sum over the value domain (executed as operators/"
+        "ranks.global_cumsum: range shuffle + partitioned window + "
+        "broadcast offsets, no single-partition stage), five "
+        "algebraic accumulators.",
 )
 def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (
@@ -366,11 +373,12 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("t"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = vals.select(
+    # Running tie-group rank offset via the two-pass distributed cumsum
+    # (operators/ranks) — same near-row-cardinality value domain as KS.
+    cum = global_cumsum(vals, ["v"], "t", out_col="_ct").select(
         "d1",
         "t",
-        (F.sum("t").over(w) - F.col("t")).cast("bigint").alias("before_me"),
+        (F.col("_ct") - F.col("t")).cast("bigint").alias("before_me"),
     )
     sums = cum.agg(
         F.sum(F.col("d1") * (2 * F.col("before_me") + F.col("t") + 1))

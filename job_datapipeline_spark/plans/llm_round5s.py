@@ -248,8 +248,10 @@ _XYZ_Y_NUM, _XYZ_Y_DEN = 1, 1  # cv < 1.0 -> Y, else Z
         "unplannable, the standard convention). The 100 TB shape: "
         "monthly demand partial-aggregates onto the part x month "
         "frame, part stats are algebraic accumulators, the ABC "
-        "cumulative window sorts the PART dimension (1/30th of the "
-        "fact), and the output is a 9-cell matrix at any scale.",
+        "running share EXECUTES as operators/ranks.global_cumsum over "
+        "the PART dimension (range partition + partitioned running "
+        "sums + broadcast prefix offsets — no single-partition "
+        "window), and the output is a 9-cell matrix at any scale.",
 )
 def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -279,14 +281,15 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    w_cum = Window.orderBy(F.col("cents").desc(), "pk").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from ..operators.ranks import global_cumsum
+
+    ranked = global_cumsum(
+        revenue, [F.col("cents").desc(), "pk"], "cents", out_col="cum"
     )
-    abc = revenue.select(
-        "pk",
-        F.sum("cents").over(w_cum).cast("bigint").alias("cum"),
-        F.sum("cents").over(Window.partitionBy()).cast("bigint").alias("tot"),
-    )
+    # total = the last running sum; aggregating the checkpoint-backed
+    # cumsum frame avoids a second scan of the lineitem rollup
+    tot = ranked.agg(F.max("cum").cast("bigint").alias("tot"))
+    abc = ranked.crossJoin(F.broadcast(tot)).select("pk", "cum", "tot")
     var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
     s2 = F.col("s") * F.col("s")
     xyz = (

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import global_row_number, ordered_neighbor_carry
 from .queries import register
 from .queries import _scratch_dir
 
@@ -111,10 +112,13 @@ _TREATED_SEGMENT = "BUILDING"
         "O(n log n) and integer-deterministic, vs the naive treated "
         "x control cross join. Outcomes are exact cents (customers "
         "without orders count zero, a pinned convention). The 100 TB "
-        "shape: one outcome aggregate (partial-combining), one sort "
-        "by covariate — range-partitionable exactly like any as-of "
-        "join — and a single-row reduce; matching quality at scale "
-        "improves with density, not cost.",
+        "shape: one outcome aggregate (partial-combining), then the "
+        "covariate sort EXECUTES range-partitioned via operators/"
+        "ranks.ordered_neighbor_carry (partitioned local windows + a "
+        "broadcast P-row cross-partition edge carry — the same "
+        "decomposition the as-of family documents), and a single-row "
+        "reduce; matching quality at scale improves with density, "
+        "not cost.",
 )
 def causal_matched_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     outcome = (
@@ -134,19 +138,25 @@ def causal_matched_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = c.join(outcome, c.ck == outcome.o_custkey, "left").select(
         "ck", "bal", "treated", F.coalesce(F.col("spend"), F.lit(0)).alias("spend")
     )
-    ctl_bal = F.when(~F.col("treated"), F.col("bal"))
-    ctl_spend = F.when(~F.col("treated"), F.col("spend"))
-    w_prev = Window.orderBy("bal", "ck").rowsBetween(Window.unboundedPreceding, -1)
-    w_next = Window.orderBy("bal", "ck").rowsBetween(1, Window.unboundedFollowing)
-    scanned = units.select(
+    # Nearest control on either side of the (bal, ck) order WITHOUT the
+    # single-partition window: operators/ranks.ordered_neighbor_carry
+    # range-partitions the union, finds local neighbors under a
+    # PARTITIONED window, and carries cross-partition edges through a
+    # broadcast P-row table — the distributed sort-merge matching form.
+    scanned = ordered_neighbor_carry(
+        units.withColumn("_ctl", ~F.col("treated")),
+        ["bal", "ck"],
+        "_ctl",
+        ["bal", "spend"],
+    ).select(
         "ck",
         "bal",
         "treated",
         "spend",
-        F.last(ctl_bal, ignorenulls=True).over(w_prev).alias("pbal"),
-        F.last(ctl_spend, ignorenulls=True).over(w_prev).alias("pspend"),
-        F.first(ctl_bal, ignorenulls=True).over(w_next).alias("nbal"),
-        F.first(ctl_spend, ignorenulls=True).over(w_next).alias("nspend"),
+        F.col("_prev_bal").alias("pbal"),
+        F.col("_prev_spend").alias("pspend"),
+        F.col("_next_bal").alias("nbal"),
+        F.col("_next_spend").alias("nspend"),
     )
     matched = scanned.filter("treated").select(
         "spend",
@@ -231,10 +241,13 @@ def mart_star_schema_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.col("r_name").alias("region"),
         )
-        .withColumn(
-            "customer_sk",
-            F.row_number().over(Window.orderBy("c_custkey")).cast("bigint"),
-        )
+    )
+    # Deterministic dense surrogate keys WITHOUT the single-partition
+    # row_number window: the partition-offset (zipWithIndex-style)
+    # assignment from operators/ranks — replayable, unlike
+    # monotonically_increasing_id, and parallel, unlike Window.orderBy.
+    dim = global_row_number(dim, ["c_custkey"], rn_col="customer_sk").select(
+        "c_custkey", "nation", "region", F.col("customer_sk").cast("bigint").alias("customer_sk")
     )
     dim.write.mode("overwrite").parquet(dim_path)
     dim_back = spark.read.parquet(dim_path)

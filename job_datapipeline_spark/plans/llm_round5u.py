@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import global_row_number
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -211,17 +212,20 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cycle_days"),
         )
     )
-    wn = Window.partitionBy()
-    ranked = metrics.select(
-        "sk",
-        "volume",
-        "revenue",
-        F.row_number().over(Window.orderBy("volume", "sk")).alias("r_vol"),
-        F.row_number().over(Window.orderBy("revenue", "sk")).alias("r_rev"),
-        F.row_number()
-        .over(Window.orderBy(F.col("cycle_days").desc(), "sk"))
-        .alias("r_spd"),
-        F.count("*").over(wn).alias("n"),
+    # Three percentile ranks over the supplier dimension — a frame that
+    # grows with the data — so each executes as operators/ranks.
+    # global_row_number (range partition + partitioned window + broadcast
+    # offsets), chained so the first call's pinned frame feeds the next
+    # two and the count; no single-partition window touches the dim.
+    m = metrics.select("sk", "volume", "revenue", "cycle_days")
+    m = global_row_number(m, ["volume", "sk"], rn_col="r_vol")
+    m = global_row_number(m, ["revenue", "sk"], rn_col="r_rev")
+    m = global_row_number(
+        m, [F.col("cycle_days").desc(), "sk"], rn_col="r_spd"
+    )
+    n_row = m.agg(F.count("*").alias("n"))
+    ranked = m.crossJoin(F.broadcast(n_row)).select(
+        "sk", "volume", "revenue", "r_vol", "r_rev", "r_spd", "n"
     )
 
     def uniform(r):
@@ -239,11 +243,21 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("composite"),
     )
-    w = Window.orderBy(F.col("composite").desc(), "sk")
+    # Global top-k: sort-limit compiles to TakeOrderedAndProject (each
+    # partition keeps k, the driver merges k) — never a full sort; the
+    # rank label is then assigned on the k-row survivor frame.
+    topk = scored.orderBy(F.col("composite").desc(), "sk").limit(_SCORE_TOPK)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _SCORE_TOPK)
-        .select("rank", F.col("sk").alias("suppkey"), "volume", "revenue", "composite")
+        global_row_number(
+            topk, [F.col("composite").desc(), "sk"], rn_col="rank"
+        )
+        .select(
+            "rank",
+            F.col("sk").alias("suppkey"),
+            "volume",
+            "revenue",
+            "composite",
+        )
         .orderBy("rank")
     )
 

@@ -27,10 +27,11 @@ reported parameter is a final rounded division.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import exact_rank_values
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -145,8 +146,11 @@ def _em_oracle() -> str:
     doc=f"Two-component Gaussian-mixture EM over order totals "
         f"(hecto-dollars), {_EM_ITERS} fixed iterations, shared "
         "variance — iterative ML under the exact-replay discipline: "
-        "initialization comes from exact p25/p75 rank picks and power "
-        "sums (never randomness); each E-step responsibility is ONE "
+        "initialization comes from exact p25/p75 rank picks (executed "
+        "distributed via operators/ranks.exact_rank_values — only the "
+        "partitions containing the target ranks sort; no global "
+        "window touches the fact) and power sums from one plain "
+        "aggregate (never randomness); each E-step responsibility is ONE "
         "deterministic double expression per row, QUANTIZED to micro "
         "before any aggregation, so every M-step accumulator "
         "(responsibility mass m, weighted sum S, weighted square Q, "
@@ -177,27 +181,26 @@ def ml_em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # scanned once per EM iteration
     )
-    wr = Window.orderBy("d", "o_orderkey")
-    wn = Window.partitionBy()
+    # Initialization without ranking the fact on one partition: the
+    # power sums are a plain partial-combining aggregate, and the exact
+    # p25/p75 rank picks come from operators/ranks.exact_rank_values —
+    # per-partition counts + broadcast offsets locate the two target
+    # ranks, and only the partitions containing them are sorted.
+    p25 = lambda n: F.floor((n + 3) / 4).cast("long")  # noqa: E731
+    p75 = lambda n: F.floor((3 * n + 3) / 4).cast("long")  # noqa: E731
+    stats = data.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("sn"),
+    )
+    picks = exact_rank_values(data, ["d", "o_orderkey"], [p25, p75], rn_col="rk")
     init = (
-        data.select(
-            "d",
-            F.row_number().over(wr).alias("rk"),
-            F.count("*").over(wn).alias("n"),
-            F.sum("d").over(wn).alias("s"),
-            F.sum(F.col("d") * F.col("d")).over(wn).alias("sn"),
-        )
+        picks.crossJoin(F.broadcast(stats))
         .agg(
-            F.max(
-                F.when(F.col("rk") == F.floor((F.col("n") + 3) / 4), F.col("d"))
-            )
+            F.max(F.when(F.col("rk") == p25(F.col("n")), F.col("d")))
             .cast("double")
             .alias("mu1"),
-            F.max(
-                F.when(
-                    F.col("rk") == F.floor((3 * F.col("n") + 3) / 4), F.col("d")
-                )
-            )
+            F.max(F.when(F.col("rk") == p75(F.col("n")), F.col("d")))
             .cast("double")
             .alias("mu2"),
             (

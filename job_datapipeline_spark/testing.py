@@ -51,6 +51,12 @@ def single_partition_windows(df) -> list[str]:
     so the detector looks for ``Exchange SinglePartition`` within the two
     tree lines following a Window node."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    return single_partition_windows_in_plan(plan)
+
+
+def single_partition_windows_in_plan(plan: str) -> list[str]:
+    """String-level form of :func:`single_partition_windows` (shared with
+    tools/audit_plans.py, which already holds the plan text)."""
     lines = plan.splitlines()
     hits: list[str] = []
     for i, line in enumerate(lines):

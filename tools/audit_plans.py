@@ -14,6 +14,13 @@ Flags raised:
                               recomputes N times unless localCheckpoint'd
                               or caught by runtime ReusedExchange — the
                               round-4 sweep found and fixed seven of these)
+- single-partition windows   (WindowExec fed by Exchange SinglePartition:
+                              an unpartitioned Window.orderBy moves EVERY
+                              row to one task.  Allowed only over frames
+                              bounded by a calendar/grid/domain — see
+                              BOUNDED_GLOBAL_WINDOWS; unbounded frames
+                              must use operators/ranks, the round-6
+                              rewrite that cleared ten of these)
 
 Filter pushdown and column pruning are asserted per-query in
 tests/test_scale_shapes.py — a text heuristic here can't tell a
@@ -35,8 +42,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from job_datapipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from job_datapipeline_spark.session import get_spark  # noqa: E402
+from job_datapipeline_spark.testing import (  # noqa: E402
+    single_partition_windows_in_plan,
+)
 
 EXCHANGE_BUDGET = 8
+
+# Queries whose plan retains a single-partition window BECAUSE the frame
+# under it is bounded — by a calendar, a value grid, or a domain that does
+# not grow with row count.  Anything NOT in this list that trips the
+# detector is an unexplained flag: either rewrite it with operators/ranks
+# (global_row_number / global_cumsum / exact_ntile / exact_rank_values /
+# ordered_neighbor_carry — the round-6 escalation that removed the seven
+# round-5 weak plans plus KS / Mann-Whitney / supplier_scorecard) or add
+# it here with the reason the frame is bounded.
+BOUNDED_GLOBAL_WINDOWS = {
+    "corpus_dsir_importance": "windows over the hash-bucket count frame "
+                              "(fixed _DSIR_BUCKETS cells, a constant)",
+    "corpus_mix_budget": "total-tokens window over the per-LANGUAGE "
+                         "availability dim (|configured languages| rows)",
+    "window_ratio_to_report": "ratio over the 25-nation rollup — the "
+                              "nation domain is a fixed dimension",
+    "pareto_frontier": "running min over the DISTINCT-PRICE frame (price "
+                       "grid in cents, orders of magnitude below rows; "
+                       "docstring documents the distributive local-"
+                       "frontier escalation if even that explodes)",
+    "agg_gini_concentration": "rank over the DISTINCT-SOURCE domain "
+                              "(domains, not documents)",
+    "ml_auc_rank": "rank cumsum over DISTINCT micro-unit scores — "
+                   "bounded by score resolution (<= 1e6+1 rows)",
+    "events_new_user_growth": "running sum over the day calendar",
+    "orders_open_interval_sweep": "running open-count over the day calendar",
+    "events_error_rate_slo": "running error budget over the day calendar",
+    "agg_chi2_independence": "contingency margins over nation x priority "
+                             "cells (fixed dimensions)",
+    "orders_aging_buckets": "share-of-total over the fixed aging-bucket "
+                            "frame (4 rows)",
+    "orders_seasonal_anomaly": "median/MAD windows over the day-calendar "
+                               "residual frame",
+    "orders_littles_law": "running WIP sweep over the day calendar",
+}
 
 # Queries whose flagged shape is understood and documented where it arises.
 KNOWN = {
@@ -152,6 +197,16 @@ def main() -> int:
             flagged += 1
             continue
         issues = []
+        known_notes = []
+        spw = single_partition_windows_in_plan(plan)
+        if spw:
+            issue = f"{len(spw)} single-partition window(s) over unbounded frame"
+            if name in BOUNDED_GLOBAL_WINDOWS:
+                known_notes.append(
+                    f"bounded frame: {BOUNDED_GLOBAL_WINDOWS[name]}"
+                )
+            else:
+                issues.append(issue)
         if "CartesianProduct" in plan:
             issues.append("CartesianProduct")
         if "BatchEvalPython" in plan:
@@ -171,6 +226,8 @@ def main() -> int:
             print(f"FLAG {name}: {', '.join(issues)}{note}")
             if name not in KNOWN:
                 flagged += 1
+        elif known_notes:
+            print(f"NOTE {name}: {'; '.join(known_notes)}")
     print(f"\n{flagged} unexplained flags over {len(only) or len(REGISTRY)} queries")
     return 0
 
