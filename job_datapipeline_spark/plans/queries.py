@@ -7552,114 +7552,78 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After this round every other registry entry will have a hard driver row
 # (target: >=150/159 cumulative).
 #
-# Round-5 rotation (this window): after r4's gate the never-certified
-# residue is exactly 33 entries — text_token_regex, the 9 scalar_* twins,
-# the 10 r4 llm_extras recipes, and the 13 plans/tpch_full.py shapes. All
-# 33 lead this window (every one is green in the judge's full 183-query
-# sf0.01 re-run and the local gate mirror), so a green CORRECTNESS_r05
-# makes cumulative hard-driver coverage 183/183 — every registry entry
-# certified at least once. Backfill to 50 uses once-certified (r1) cheap
-# relational shapes. Queries added during r5 displace backfill slots so
-# new surface always meets the hard gate in its birth round.
+# Round-6 rotation (this window): rounds 1-5 hard-certified 198 distinct
+# queries; the never-certified residue is the 96 r5-new entries that
+# missed r5's 50-slot window (including the two r5 driver-reds, whose
+# oracle CAST bugs are fixed this round).  This window leads with those
+# two, then the ten plans rewritten onto operators/ranks (so the
+# rewrites get hard rows, not just local green), then the heavies the
+# judge named (feature store, CF, active users, interval sweep, markov,
+# dHash, Viterbi, k-core, triangles, bloom-prefilter, market basket,
+# Holt, p-chart, DiD, ECE, AUC), then registry-order backfill from the
+# residue.  46 remain for the r7 rotation.  Queries added during r6
+# displace backfill slots so new surface meets the gate in its birth
+# round.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = (
-    # -- the 33 never-driver-certified entries (see rotation note) --
-    "text_token_regex",
-    "scalar_array_ops",
-    "scalar_map_ops",
-    "scalar_struct_ops",
-    "scalar_date_arith",
-    "scalar_explode_outer",
-    "scalar_variant_ops",
-    "scalar_try_arithmetic",
-    "scalar_collation_group",
-    "scalar_url_ops",
-    "text_bm25_search",
-    "corpus_temperature_sample",
-    "dedup_semantic_prune",
-    "text_quality_classifier",
-    "text_chunk_overlap",
-    "corpus_upsample_repeat",
-    "corpus_chunk_dedup",
-    "agg_theta_sketch_setops",
-    "agg_heavy_hitters",
-    "corpus_pretrain_pipeline",
-    "tpch_revenue_forecast",
-    "tpch_min_cost_supplier",
-    "tpch_nation_volume",
-    "tpch_market_share",
-    "tpch_product_profit",
-    "tpch_returned_items",
-    "tpch_important_stock",
-    "tpch_late_shipment_priority",
-    "tpch_top_supplier",
-    "tpch_supplier_part_counts",
-    "tpch_promotion_parts",
-    "tpch_waiting_suppliers",
-    "tpch_sales_opportunity",
-    # -- new in round 5 (never certified by definition) --
-    "dedup_state_roundtrip",
-    "corpus_domain_cap",
-    "tokenizer_bpe_pairs",
-    "corpus_dsir_importance",
+    # -- the two round-5 driver-red rows (oracle CAST bugs, fixed in r6:
+    # DuckDB HUGEINT -> pandas float64 rendering): certify the fix --
     "corpus_mix_budget",
-    "streaming_dedup_state_ingest",
-    "ann_sq8_rerank",
-    "corpus_cc_perplexity_buckets",
-    "tokenizer_vocab_coverage",
-    "dedup_exact_substring_spans",
-    "corpus_span_corruption_plan",
-    "corpus_zipf_slope",
-    "text_inverted_index",
     "text_cdc_chunk_match",
-    "corpus_split_drift",
-    "dedup_minhash_estimate_accuracy",
-    # -- new in round 5, second batch (displaces the last backfill slot;
-    # the remaining r5 entries queue for the r6 rotation: the other five
-    # llm_round5b queries — agg_countmin_frequency, corpus_url_blocklist,
-    # text_encoding_repair, quality_profile_columns, embedding_mean_pool —
-    # the five llm_round5c queries — text_rrf_fusion, snapshot_diff,
-    # join_size_estimate, sink_roundtrip_orc, pareto_frontier — and the
-    # six llm_round5d queries — text_pmi_collocations,
-    # corpus_curriculum_schedule, mv_incremental_maintenance,
-    # corpus_preference_pairs, text_lexical_diversity,
-    # agg_gini_concentration — and the five llm_round5e queries —
-    # events_interpolate_linear, corpus_negative_samples,
-    # join_skew_diagnosis, ml_classification_metrics, ml_auc_rank — and
-    # the four llm_round5f queries — events_cusum_drift,
-    # graph_triangle_clustering, join_bloom_prefilter,
-    # orders_market_basket — the three llm_round5g queries —
-    # scd2_apply_changes, corpus_quality_ablation_report,
-    # corpus_psi_drift — and the four llm_round5h queries —
-    # ml_calibration_ece, events_markov_transitions,
-    # orders_rfm_segmentation, orders_cohort_ltv — and the four
-    # llm_round5i queries — events_active_users,
-    # orders_abc_classification, events_session_window_native,
-    # text_readability_scores — and the four llm_round5j queries —
-    # events_new_user_growth, agg_weighted_median,
-    # orders_interpurchase_gaps, events_bot_detection — and the four
-    # llm_round5k queries — orders_open_interval_sweep, agg_mode_exact,
-    # events_error_rate_slo, orders_seasonality_index — and the five
-    # llm_round5l queries — events_ewma_daily, orders_survival_km,
-    # orders_trend_ols, agg_benford_audit, embedding_gram_matrix — and
-    # the five llm_round5m queries — events_ab_test_ztest,
-    # agg_chi2_independence, events_jaccard_affinity,
-    # text_sparse_cosine_topk, compliance_cascade_delete — the four
-    # llm_round5n queries — geo_nearest_supplier, agg_ks_test,
-    # agg_mann_whitney, agg_trimmed_mean — the four llm_round5o
-    # queries — text_rake_keyphrases, layout_zorder_tiles,
-    # audit_scan_provenance, compaction_bin_packing — the three
-    # llm_round5p queries — ann_mmr_diverse_topk,
-    # orders_duplicate_invoices, part_reorder_rate — the three
-    # llm_round5q queries — events_holt_forecast, graph_kcore_peel,
-    # orders_theil_sen_trend — the three llm_round5r queries —
-    # ml_feature_scaling, events_twap_daily, orders_aging_buckets —
-    # the three llm_round5s queries — recsys_item_item_cf,
-    # orders_abc_xyz_matrix, orders_seasonal_anomaly — and the three
-    # llm_round5t queries — causal_matched_cohort,
-    # mart_star_schema_build, orders_cycle_time_trend) --
-    "agg_bloom_membership",
+    # -- the ten single-partition-window plans rewritten onto
+    # operators/ranks in round 6: hard-certify the rewrites --
+    "ml_em_gaussian_mixture",
+    "causal_matched_cohort",
+    "corpus_curriculum_schedule",
+    "orders_rfm_segmentation",
+    "orders_abc_classification",
+    "orders_abc_xyz_matrix",
+    "mart_star_schema_build",
+    "agg_ks_test",
+    "agg_mann_whitney",
+    "supplier_scorecard",
+    # -- the r5-new heavies the judge prioritized for this rotation --
+    "ml_feature_store_build",
+    "recsys_item_item_cf",
+    "events_active_users",
+    "orders_open_interval_sweep",
+    "events_markov_transitions",
+    "multimodal_image_dhash",
+    "events_burst_viterbi",
+    "graph_kcore_peel",
+    "graph_triangle_clustering",
+    "join_bloom_prefilter",
+    "orders_market_basket",
+    "events_holt_forecast",
+    "quality_control_pchart",
+    "events_diff_in_diff",
+    "ml_calibration_ece",
+    "ml_auc_rank",
+    # -- backfill from the remaining never-certified residue, registry
+    # order (the rest queue for the r7 rotation) --
+    "agg_countmin_frequency",
+    "corpus_url_blocklist",
+    "text_encoding_repair",
+    "quality_profile_columns",
+    "embedding_mean_pool",
+    "text_rrf_fusion",
+    "snapshot_diff",
+    "join_size_estimate",
+    "sink_roundtrip_orc",
+    "pareto_frontier",
+    "text_pmi_collocations",
+    "mv_incremental_maintenance",
+    "corpus_preference_pairs",
+    "text_lexical_diversity",
+    "agg_gini_concentration",
+    "events_interpolate_linear",
+    "corpus_negative_samples",
+    "join_skew_diagnosis",
+    "ml_classification_metrics",
+    "events_cusum_drift",
+    "scd2_apply_changes",
+    "corpus_quality_ablation_report",
 )
 
 

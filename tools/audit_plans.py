@@ -179,6 +179,30 @@ KNOWN = {
                                 "report union) — each wide stage shuffles once "
                                 "over its checkpointed input; 10 exchanges IS "
                                 "the documented four-wide-stages + report shape",
+    # The operators/ranks two-pass primitives trade ONE catastrophic
+    # single-partition stage for a few extra parallel exchanges: each
+    # pass costs a range exchange of the (dimension-sized) frame, a pid
+    # re-cluster for the partitioned window, and P-row partials/offsets
+    # aggregates.  Exchange COUNT rises; every exchange moves dim- or
+    # P-sized data and the fact table still collapses in its one
+    # partial-agg exchange first.
+    "orders_rfm_segmentation": "three exact_ntile passes over the CUSTOMER dim "
+                               "(each: range exchange + pid re-cluster + P-row "
+                               "offset aggregates); the orders fact shuffles "
+                               "exactly once, into the per-customer rollup",
+    "orders_abc_classification": "one global_cumsum pass over the PART dim; "
+                                 "lineitem collapses in one partial-agg "
+                                 "exchange first",
+    "orders_abc_xyz_matrix": "monthly-demand and revenue rollups collapse the "
+                             "fact; the global_cumsum pass and the stats join "
+                             "all move part-dim or P-row data",
+    "agg_ks_test": "one global_cumsum pass (two running sums share it) over "
+                   "the distinct-cent-value frame; orders collapses in one "
+                   "FILTER-count partial agg first",
+    "causal_matched_cohort": "one ordered_neighbor_carry pass over the "
+                             "customer dim (range exchange + pid re-cluster + "
+                             "P-row edge/carry aggregates); orders collapses "
+                             "in one outcome partial agg first",
 }
 
 
