@@ -7619,11 +7619,13 @@ _DRIVER_WINDOW_FIRST = (
     "agg_gini_concentration",
     "events_interpolate_linear",
     "corpus_negative_samples",
-    "join_skew_diagnosis",
-    "ml_classification_metrics",
-    "events_cusum_drift",
-    "scd2_apply_changes",
-    "corpus_quality_ablation_report",
+    # -- new in round 6 (never certified by definition; displace the
+    # last backfill slots): the ranks-primitive surface + Heaps/novelty --
+    "orders_lorenz_curve",
+    "corpus_length_deciles",
+    "agg_exact_median_mad",
+    "corpus_heaps_law",
+    "text_ngram_novelty",
 )
 
 
@@ -7671,5 +7673,6 @@ from . import llm_round5z  # noqa: E402,F401  (forecast backtest / discount lift
 from . import llm_round5aa  # noqa: E402,F401  (perceptual image dHash near-dedup)
 from . import llm_round5bb  # noqa: E402,F401  (integer-Viterbi burst detection)
 from . import llm_round5cc  # noqa: E402,F401  (SPC p-chart / difference-in-differences)
+from . import llm_round6  # noqa: E402,F401  (Lorenz curve / length deciles / exact median-MAD / Heaps law / n-gram novelty)
 
 _reorder_registry()
