@@ -95,9 +95,16 @@ def asof_join(
         Window.partitionBy("_k").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward arm = backward arm over the REVERSED sort: Spark's
+    # UnboundedPreceding frame updates incrementally (O(n) per key) while
+    # an UnboundedFollowing frame recomputes its aggregate for every row
+    # (O(n^2) per key — pathological on hot keys).  last() over this
+    # reversed inclusive frame == first() over (currentRow,
+    # unboundedFollowing) on the forward sort.
+    rev = [F.col("_ts").desc(), F.col("_side").desc(), F.col("_rord").desc()]
     w_fwd = (
-        Window.partitionBy("_k").orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Window.partitionBy("_k").orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
     def within_tol(m: Column, dist: Column) -> Column:
@@ -110,13 +117,13 @@ def asof_join(
         m = F.last("_p", ignorenulls=True).over(w_back)
         carried = base.select("*", within_tol(m, F.col("_ts") - m["_mts"]).alias("_asof"))
     elif direction == "forward":
-        m = F.first("_p", ignorenulls=True).over(w_fwd)
+        m = F.last("_p", ignorenulls=True).over(w_fwd)
         carried = base.select("*", within_tol(m, m["_mts"] - F.col("_ts")).alias("_asof"))
     else:  # nearest: both arms over the SAME sort (right-before-left at
         # equal ts), so the forward arm is strictly-after — distance-0
         # matches arrive via the backward arm
         mb = F.last("_p", ignorenulls=True).over(w_back)
-        mf = F.first("_p", ignorenulls=True).over(w_fwd)
+        mf = F.last("_p", ignorenulls=True).over(w_fwd)
         b = within_tol(mb, F.col("_ts") - mb["_mts"])
         f = within_tol(mf, mf["_mts"] - F.col("_ts"))
         carried = base.select("*", b.alias("_b"), f.alias("_f"))

@@ -237,12 +237,29 @@ def ordered_neighbor_carry(
     sort-merge nearest-neighbor device (as-of matching, matched cohorts)
     without the single-partition window.
 
-    Within each range partition a partitioned last/first IGNORE NULLS
-    window finds the local neighbor; the cross-partition carry comes from
-    a P-row edge table (each partition's first/last flagged payload)
-    turned into per-pid carry-ins by the same triangular self-join the
-    prefix sums use.  Adds ``_prev_<col>`` / ``_next_<col>`` per payload
-    column (null when no flagged row exists on that side)."""
+    Within each range partition a partitioned last IGNORE NULLS window
+    finds the local neighbor — BOTH directions via UNBOUNDED-PRECEDING
+    frames (the following-side neighbor comes from the same frame over
+    the REVERSED sort), because Spark's UnboundedPreceding frame updates
+    incrementally (O(n) per partition) while an UnboundedFollowing frame
+    recomputes its aggregate per row (O(n^2) per partition — measured as
+    a 563 s single-task stall on the 10x ladder before this fix).  The
+    cross-partition carry comes from a P-row edge table (each
+    partition's first/last flagged payload) turned into per-pid
+    carry-ins by the same triangular self-join the prefix sums use.
+    Adds ``_prev_<col>`` / ``_next_<col>`` per payload column (null when
+    no flagged row exists on that side).
+
+    ``order_cols`` must be plain column names (ascending) here — the
+    reversed-frame trick needs to flip the sort direction, which a
+    pre-built Column sort expression doesn't expose."""
+    for c in order_cols:
+        if not isinstance(c, str):
+            raise TypeError(
+                "ordered_neighbor_carry requires plain (ascending) column "
+                "names so the following-side frame can run on the "
+                "reversed sort"
+            )
     part = stamp_range_partitions(df, order_cols)
     payload = F.struct(*[F.col(c) for c in payload_cols])
     ord_struct = F.struct(*_cols(order_cols))
@@ -273,10 +290,13 @@ def ordered_neighbor_carry(
         .orderBy(*_cols(order_cols))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # following-side neighbor = preceding-side neighbor under the
+    # reversed sort: an incremental O(n) frame instead of the O(n^2)
+    # UnboundedFollowing frame (see docstring)
     wn = (
         Window.partitionBy(_PID)
-        .orderBy(*_cols(order_cols))
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(*[F.col(c).desc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     local_payload = F.when(F.col(flag_col), payload)
     out = (
@@ -291,7 +311,7 @@ def ordered_neighbor_carry(
         .withColumn(
             "_next_p",
             F.coalesce(
-                F.first(local_payload, ignorenulls=True).over(wn),
+                F.last(local_payload, ignorenulls=True).over(wn),
                 F.col("_carry_next"),
             ),
         )

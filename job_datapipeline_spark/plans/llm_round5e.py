@@ -174,18 +174,21 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rn")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward context = backward context over the REVERSED sort: the
+    # UnboundedPreceding frame updates incrementally (O(n)), while an
+    # UnboundedFollowing frame recomputes per row (O(n^2) per partition)
     w_fwd = (
         Window.partitionBy("event_type")
-        .orderBy("rn")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("rn").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rn_if_obs = F.when(F.col("cents").isNotNull(), F.col("rn"))
     ctx = pos.select(
         "*",
         F.last("cents", ignorenulls=True).over(w_back).alias("prev_c"),
         F.last(rn_if_obs, ignorenulls=True).over(w_back).alias("prev_rn"),
-        F.first("cents", ignorenulls=True).over(w_fwd).alias("next_c"),
-        F.first(rn_if_obs, ignorenulls=True).over(w_fwd).alias("next_rn"),
+        F.last("cents", ignorenulls=True).over(w_fwd).alias("next_c"),
+        F.last(rn_if_obs, ignorenulls=True).over(w_fwd).alias("next_rn"),
     )
     interp = F.col("prev_c") + F.round(
         (F.col("next_c") - F.col("prev_c"))

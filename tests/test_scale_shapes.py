@@ -616,11 +616,20 @@ def test_pmi_marginals_read_checkpoint_not_corpus(spark, sf_dir):
 
 
 def test_curriculum_scan_prunes_to_needed_columns(spark, sf_dir):
-    # the corpus scan reads only (doc_id, text, n_chars); the running
-    # sum is the plan's single global sort.
-    plan = _plan(REGISTRY["corpus_curriculum_schedule"].fn(spark, sf_dir))
+    # Since the operators/ranks rewrite the parquet scan happens inside
+    # global_cumsum's pinned (localCheckpoint'd) stamped frame, so the
+    # final plan reads the checkpoint RDD: assert the checkpoint carries
+    # ONLY the three needed columns (+ the partition stamp) — i.e. the
+    # scan was pruned before materialization — and that no single-
+    # partition window remains (the reason for the rewrite).
+    from job_datapipeline_spark.testing import single_partition_windows
+
+    df = REGISTRY["corpus_curriculum_schedule"].fn(spark, sf_dir)
+    plan = _plan(df)
     assert "lang" not in plan and "source" not in plan  # pruned
-    assert plan.count("documents.parquet]") == 1
+    assert "documents.parquet]" not in plan  # reads the pinned checkpoint
+    assert "Scan ExistingRDD[doc_id" in plan
+    assert single_partition_windows(df) == []
 
 
 def test_mv_incremental_single_fact_scan(spark, sf_dir):
