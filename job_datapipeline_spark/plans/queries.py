@@ -7616,9 +7616,6 @@ _DRIVER_WINDOW_FIRST = (
     "mv_incremental_maintenance",
     "corpus_preference_pairs",
     "text_lexical_diversity",
-    "agg_gini_concentration",
-    "events_interpolate_linear",
-    "corpus_negative_samples",
     # -- new in round 6 (never certified by definition; displace the
     # last backfill slots): the ranks-primitive surface + Heaps/novelty --
     "orders_lorenz_curve",
@@ -7626,6 +7623,9 @@ _DRIVER_WINDOW_FIRST = (
     "agg_exact_median_mad",
     "corpus_heaps_law",
     "text_ngram_novelty",
+    "orders_wilson_ci",
+    "events_path_trigrams",
+    "quality_quarantine_split",
 )
 
 
@@ -7674,5 +7674,6 @@ from . import llm_round5aa  # noqa: E402,F401  (perceptual image dHash near-dedu
 from . import llm_round5bb  # noqa: E402,F401  (integer-Viterbi burst detection)
 from . import llm_round5cc  # noqa: E402,F401  (SPC p-chart / difference-in-differences)
 from . import llm_round6  # noqa: E402,F401  (Lorenz curve / length deciles / exact median-MAD / Heaps law / n-gram novelty)
+from . import llm_round6b  # noqa: E402,F401  (Wilson CI / path trigrams / quarantine split)
 
 _reorder_registry()
