@@ -7614,8 +7614,6 @@ _DRIVER_WINDOW_FIRST = (
     "pareto_frontier",
     "text_pmi_collocations",
     "mv_incremental_maintenance",
-    "corpus_preference_pairs",
-    "text_lexical_diversity",
     # -- new in round 6 (never certified by definition; displace the
     # last backfill slots): the ranks-primitive surface + Heaps/novelty --
     "orders_lorenz_curve",
@@ -7626,6 +7624,8 @@ _DRIVER_WINDOW_FIRST = (
     "orders_wilson_ci",
     "events_path_trigrams",
     "quality_quarantine_split",
+    "embedding_pca_power_iteration",
+    "tokenizer_bpe_learn",
 )
 
 
@@ -7675,5 +7675,6 @@ from . import llm_round5bb  # noqa: E402,F401  (integer-Viterbi burst detection)
 from . import llm_round5cc  # noqa: E402,F401  (SPC p-chart / difference-in-differences)
 from . import llm_round6  # noqa: E402,F401  (Lorenz curve / length deciles / exact median-MAD / Heaps law / n-gram novelty)
 from . import llm_round6b  # noqa: E402,F401  (Wilson CI / path trigrams / quarantine split)
+from . import llm_round6c  # noqa: E402,F401  (PCA power iteration / BPE merge learning)
 
 _reorder_registry()
