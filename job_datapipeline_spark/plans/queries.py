@@ -7609,11 +7609,7 @@ _DRIVER_WINDOW_FIRST = (
     "embedding_mean_pool",
     "text_rrf_fusion",
     "snapshot_diff",
-    "join_size_estimate",
     "sink_roundtrip_orc",
-    "pareto_frontier",
-    "text_pmi_collocations",
-    "mv_incremental_maintenance",
     # -- new in round 6 (never certified by definition; displace the
     # last backfill slots): the ranks-primitive surface + Heaps/novelty --
     "orders_lorenz_curve",
@@ -7626,6 +7622,10 @@ _DRIVER_WINDOW_FIRST = (
     "quality_quarantine_split",
     "embedding_pca_power_iteration",
     "tokenizer_bpe_learn",
+    "ml_pr_curve",
+    "ml_gains_table",
+    "corpus_neyman_allocation",
+    "sink_roundtrip_jsonl",
 )
 
 
@@ -7676,5 +7676,6 @@ from . import llm_round5cc  # noqa: E402,F401  (SPC p-chart / difference-in-diff
 from . import llm_round6  # noqa: E402,F401  (Lorenz curve / length deciles / exact median-MAD / Heaps law / n-gram novelty)
 from . import llm_round6b  # noqa: E402,F401  (Wilson CI / path trigrams / quarantine split)
 from . import llm_round6c  # noqa: E402,F401  (PCA power iteration / BPE merge learning)
+from . import llm_round6d  # noqa: E402,F401  (PR curve-AP / gains table / Neyman allocation / JSONL sink)
 
 _reorder_registry()
