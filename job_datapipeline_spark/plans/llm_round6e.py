@@ -1,0 +1,331 @@
+"""Round-6 fifth batch: time-bound funnel, Poisson-bootstrap confidence
+interval, day-of-week x hour load heatmap.
+
+Three more named operators:
+
+- Time-bound funnel (view -> click -> purchase, each step within 60
+  minutes of the previous): the conversion funnel as product teams
+  actually define it — events_funnel counts unordered-lifetime stage
+  presence; this one requires the CHAIN, via two forward as-of joins
+  with tolerance (operators/asof), so a purchase an hour after an
+  unrelated view never counts.
+- Poisson-bootstrap 95% CI for the mean order value — THE scalable
+  bootstrap (each row draws an independent Poisson(1) replication
+  weight per replica, so resampling is one map-side pass; the classic
+  n-out-of-n bootstrap needs global coordination).  Weights come from
+  16-bit md5 draws against precomputed integer CDF thresholds —
+  bit-identical on any engine — and the percentile picks are exact
+  ranks over the B=50 replica means.
+- Day-of-week x hour event heatmap with per-cell load share — the
+  ops-calendar view behind capacity planning and anomaly triage
+  (companion to orders_seasonality_index's monthly view).
+
+Reference parity: none in the reference (glassdoor-scraper/src/
+main.py).  Float discipline (plans/queries.py header): counts, cents
+and draw comparisons are exact integers; each replica mean and share
+is one rounded IEEE division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.asof import asof_join
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# Time-bound funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_GAP_MIN = 60
+
+
+@register(
+    "events_funnel_time_bound",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+    ),
+    c AS (
+        SELECT v.user_id, v.t1, min(e.ts) AS t2
+        FROM v JOIN events e
+          ON e.user_id = v.user_id AND e.event_type = '{_FUNNEL_STEPS[1]}'
+         AND e.ts >= v.t1
+         AND e.ts <= v.t1 + INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT c.user_id, c.t2, min(e.ts) AS t3
+        FROM c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = '{_FUNNEL_STEPS[2]}'
+         AND e.ts >= c.t2
+         AND e.ts <= c.t2 + INTERVAL {_FUNNEL_GAP_MIN} MINUTE
+        GROUP BY 1, 2
+    )
+    SELECT step, n_users FROM (
+        SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT) FROM p
+    ) t ORDER BY step
+    """,
+    doc=f"Time-bound funnel {' -> '.join(_FUNNEL_STEPS)}, each step "
+        f"within {_FUNNEL_GAP_MIN} minutes of the previous — conversion "
+        "as product analytics actually defines it: the step-2 event "
+        "must FOLLOW the user's first step-1 event inside the window, "
+        "and step 3 must follow THAT step-2. events_funnel counts "
+        "lifetime stage presence; the chain constraint is what makes "
+        "funnels honest about causality-adjacent ordering. Executes as "
+        "two forward as-of joins with tolerance (operators/asof: "
+        "union-and-carry, one shuffle per step on the user key, no "
+        "range-join blow-up at any skew, and since the round-6 "
+        "reversed-frame fix each key costs O(n), not O(n^2)). Output: "
+        "users surviving each step. The 100 TB shape: per-step "
+        "pre-filters cut the event log to the step types before any "
+        "shuffle; each as-of is one key-partitioned sort.",
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    tol = f"interval {_FUNNEL_GAP_MIN} minutes"
+    v = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = ev.where(F.col("event_type") == _FUNNEL_STEPS[1]).select(
+        "user_id", F.col("ts").alias("cts"), "event_id"
+    )
+    c = asof_join(
+        v,
+        clicks,
+        key_left="user_id",
+        key_right="user_id",
+        left_ts="t1",
+        right_ts="cts",
+        payload_cols=["cts"],
+        right_order="event_id",
+        direction="forward",
+        tolerance=tol,
+    ).where(F.col("cts").isNotNull()).select("user_id", F.col("cts").alias("t2"))
+    buys = ev.where(F.col("event_type") == _FUNNEL_STEPS[2]).select(
+        "user_id", F.col("ts").alias("pts"), "event_id"
+    )
+    p = asof_join(
+        c,
+        buys,
+        key_left="user_id",
+        key_right="user_id",
+        left_ts="t2",
+        right_ts="pts",
+        payload_cols=["pts"],
+        right_order="event_id",
+        direction="forward",
+        tolerance=tol,
+    ).where(F.col("pts").isNotNull())
+    out = (
+        v.agg(F.lit(1).alias("step"), F.count("*").cast("bigint").alias("n_users"))
+        .unionByName(
+            c.agg(
+                F.lit(2).alias("step"),
+                F.count("*").cast("bigint").alias("n_users"),
+            )
+        )
+        .unionByName(
+            p.agg(
+                F.lit(3).alias("step"),
+                F.count("*").cast("bigint").alias("n_users"),
+            )
+        )
+    )
+    return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+_BOOT_SALT = "poisboot-v1"
+# 16-bit integer CDF thresholds for Poisson(1): P(X <= k) * 65536,
+# k = 0..7 (mass beyond 7 is < 1e-7 at this resolution; draws >= the
+# last threshold pin to 8)
+_POIS_T = (24109, 48219, 60273, 64292, 65296, 65497, 65531, 65535)
+_BOOT_LO_RANK = 2  # ceil(0.025 * 50)
+_BOOT_HI_RANK = 49  # ceil(0.975 * 50)
+
+
+def _pois_case_sql(u: str) -> str:
+    parts = [f"CASE WHEN {u} < {_POIS_T[0]} THEN 0"]
+    for k in range(1, len(_POIS_T)):
+        parts.append(f" WHEN {u} < {_POIS_T[k]} THEN {k}")
+    parts.append(" ELSE 8 END")
+    return "".join(parts)
+
+
+@register(
+    "agg_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH data AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reps AS (SELECT b FROM generate_series(1, {_BOOT_B}) t(b)),
+    weighted AS (
+        SELECT r.b, d.cents,
+               {_pois_case_sql(
+                   "('0x' || substring(md5('" + _BOOT_SALT + ":' "
+                   "|| CAST(r.b AS VARCHAR) || ':' "
+                   "|| CAST(d.o_orderkey AS VARCHAR)), 1, 4))::BIGINT"
+               )} AS w
+        FROM data d CROSS JOIN reps r
+    ),
+    means AS (
+        SELECT b,
+               CAST(round(1.0 * sum(w * cents) / sum(w)) AS BIGINT)
+                   AS mean_cents
+        FROM weighted GROUP BY b
+    ),
+    sorted AS (SELECT list(mean_cents ORDER BY mean_cents, b) AS l FROM means),
+    point AS (
+        SELECT CAST(round(1.0 * sum(cents) / count(*)) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM data
+    )
+    SELECT p.n AS n_orders,
+           p.m AS mean_cents,
+           s.l[{_BOOT_LO_RANK}] AS ci_lo_cents,
+           s.l[{_BOOT_HI_RANK}] AS ci_hi_cents,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicas
+    FROM point p CROSS JOIN sorted s
+    """,
+    doc=f"Poisson-bootstrap 95% CI for the mean order value, B="
+        f"{_BOOT_B} replicas — THE bootstrap that scales (Chamandy et "
+        "al.'s 'Estimating Uncertainty for Massive Data Streams' "
+        "device, standard at planet scale): instead of the classic "
+        "n-out-of-n resample (which needs global coordination), every "
+        "row draws an INDEPENDENT Poisson(1) replication weight per "
+        "replica, so resampling is one map-side expression and every "
+        "replica mean is a partial-combining aggregate. Weights are "
+        "16-bit md5 draws compared against precomputed integer CDF "
+        "thresholds (embedded literals, identical on both engines — "
+        "the operators/sampling discipline), each replica mean is ONE "
+        "rounded division of exact cent/count sums, and the CI is "
+        f"exact rank picks ({_BOOT_LO_RANK}/{_BOOT_HI_RANK} of the "
+        "mean-sorted, b-tiebroken replica list — a bounded B-row "
+        "frame). The 100 TB shape: the B-way fan-out is map-side "
+        "(B x narrow rows), the per-replica aggregate partial-"
+        "combines, and the final step is B-row arithmetic; B is a "
+        "dial, not a scaling risk.",
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    reps = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(_BOOT_SALT),
+                    F.col("b").cast("string"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.when(u < _POIS_T[0], 0)
+    for k in range(1, len(_POIS_T)):
+        w = w.when(u < _POIS_T[k], k)
+    w = w.otherwise(8)
+    weighted = data.crossJoin(F.broadcast(reps)).select(
+        "b", "cents", w.alias("w")
+    )
+    means = weighted.groupBy("b").agg(
+        F.round(F.lit(1.0) * F.sum(F.col("w") * F.col("cents")) / F.sum("w"))
+        .cast("bigint")
+        .alias("mean_cents")
+    )
+    sorted_means = means.agg(
+        F.array_sort(F.collect_list(F.struct("mean_cents", "b"))).alias("l")
+    )
+    point = data.agg(
+        F.round(F.lit(1.0) * F.sum("cents") / F.count("*"))
+        .cast("bigint")
+        .alias("m"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return point.crossJoin(F.broadcast(sorted_means)).select(
+        F.col("n").alias("n_orders"),
+        F.col("m").alias("mean_cents"),
+        F.element_at("l", _BOOT_LO_RANK)["mean_cents"].alias("ci_lo_cents"),
+        F.element_at("l", _BOOT_HI_RANK)["mean_cents"].alias("ci_hi_cents"),
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicas"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour heatmap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+        -- +1: DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+    SELECT dow, hod, n,
+           CAST(round(1000000.0 * n / t.total) AS BIGINT) AS share_micro
+    FROM cells CROSS JOIN t
+    ORDER BY dow, hod
+    """,
+    doc="Day-of-week x hour-of-day event heatmap with per-cell load "
+        "share — the ops-calendar view behind capacity planning, "
+        "on-call staffing and 'is this spike normal for a Tuesday "
+        "3pm' triage; companion to orders_seasonality_index's monthly "
+        "seasonality. dow follows Spark's convention (1 = Sunday .. "
+        "7 = Saturday; DuckDB's 0-based dayofweek is shifted in the "
+        "oracle). The 100 TB shape: one map-side "
+        "bucketing pass partial-combines onto the fixed 7x24 cell "
+        "frame; the share divides by a broadcast scalar — nothing "
+        "beyond the 168-cell rollup ever crosses the wire.",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("bigint").alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hod"),
+    )
+    cells = ev.groupBy("dow", "hod").agg(F.count("*").cast("bigint").alias("n"))
+    t = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.round(F.lit(1_000_000.0) * F.col("n") / F.col("total"))
+            .cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy("dow", "hod")
+    )

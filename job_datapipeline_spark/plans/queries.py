@@ -7607,9 +7607,6 @@ _DRIVER_WINDOW_FIRST = (
     "text_encoding_repair",
     "quality_profile_columns",
     "embedding_mean_pool",
-    "text_rrf_fusion",
-    "snapshot_diff",
-    "sink_roundtrip_orc",
     # -- new in round 6 (never certified by definition; displace the
     # last backfill slots): the ranks-primitive surface + Heaps/novelty --
     "orders_lorenz_curve",
@@ -7626,6 +7623,9 @@ _DRIVER_WINDOW_FIRST = (
     "ml_gains_table",
     "corpus_neyman_allocation",
     "sink_roundtrip_jsonl",
+    "events_funnel_time_bound",
+    "agg_poisson_bootstrap_ci",
+    "events_dow_hour_heatmap",
 )
 
 
@@ -7677,5 +7677,6 @@ from . import llm_round6  # noqa: E402,F401  (Lorenz curve / length deciles / ex
 from . import llm_round6b  # noqa: E402,F401  (Wilson CI / path trigrams / quarantine split)
 from . import llm_round6c  # noqa: E402,F401  (PCA power iteration / BPE merge learning)
 from . import llm_round6d  # noqa: E402,F401  (PR curve-AP / gains table / Neyman allocation / JSONL sink)
+from . import llm_round6e  # noqa: E402,F401  (time-bound funnel / Poisson bootstrap CI / dow-hour heatmap)
 
 _reorder_registry()
