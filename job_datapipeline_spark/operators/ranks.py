@@ -69,7 +69,10 @@ def _prefix_offsets(
     single = isinstance(agg_cols, str)
     cols = [agg_cols] if single else list(agg_cols)
     a = partials.alias("a")
-    b = partials.alias("b")
+    # broadcast the probe side: the non-equi condition would otherwise
+    # compile to CartesianProduct; BroadcastNestedLoopJoin over two P-row
+    # frames is both cheaper and honest about the intent
+    b = F.broadcast(partials.alias("b"))
     aggs = [
         F.coalesce(F.sum(F.col(f"b.{c}")), F.lit(0).cast("long")).alias(
             "_off" if single else f"_off_{c}"
@@ -273,7 +276,7 @@ def ordered_neighbor_carry(
         )
     )
     a = pids.alias("a")
-    b = edges.alias("b")
+    b = F.broadcast(edges.alias("b"))
     carry_prev = (
         a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
         .groupBy(F.col(f"a.{_PID}").alias(_PID))

@@ -56,7 +56,9 @@ def _cum_small(df: DataFrame, key_col: str, val_cols: list[str]) -> DataFrame:
     deciles, calendar buckets) via the triangular self-join, so even the
     tiny cumulative step stays window-free."""
     a = df.alias("a")
-    b = df.alias("b")
+    # broadcast: the <= condition would otherwise compile to
+    # CartesianProduct; both sides are k-row frames
+    b = F.broadcast(df.alias("b"))
     keep = [F.col(f"a.{c}").alias(c) for c in df.columns]
     sums = [
         F.sum(F.col(f"b.{c}")).cast("long").alias(f"cum_{c}") for c in val_cols

@@ -99,6 +99,7 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == _FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()  # feeds the step-1 count AND the first as-of
     )
     clicks = ev.where(F.col("event_type") == _FUNNEL_STEPS[1]).select(
         "user_id", F.col("ts").alias("cts"), "event_id"
@@ -114,7 +115,9 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_order="event_id",
         direction="forward",
         tolerance=tol,
-    ).where(F.col("cts").isNotNull()).select("user_id", F.col("cts").alias("t2"))
+    ).where(F.col("cts").isNotNull()).select(
+        "user_id", F.col("cts").alias("t2")
+    ).localCheckpoint()  # feeds the step-2 count AND the second as-of
     buys = ev.where(F.col("event_type") == _FUNNEL_STEPS[2]).select(
         "user_id", F.col("ts").alias("pts"), "event_id"
     )

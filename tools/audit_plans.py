@@ -203,6 +203,25 @@ KNOWN = {
                              "customer dim (range exchange + pid re-cluster + "
                              "P-row edge/carry aggregates); orders collapses "
                              "in one outcome partial agg first",
+    # Round-6 primitive consumers: the exchange COUNT is dominated by
+    # P-row/k-row plumbing (counts, offsets, broadcast totals, the
+    # triangular cumulative over <= 10 decile rows); the only exchanges
+    # that move data-scale rows are the initial rollup + the primitive's
+    # range/pid pair.
+    "orders_lorenz_curve": "one exact_ntile pass over the customer dim + "
+                           "10-row decile arithmetic; orders collapses in "
+                           "one partial-agg exchange first",
+    "corpus_length_deciles": "one exact_ntile pass over (doc_id, ntok) "
+                             "pairs; the corpus is scanned once",
+    "agg_exact_median_mad": "two pruned exact_rank_values passes (median, "
+                            "then MAD over the broadcast-derived deviation "
+                            "column); each pass is one range exchange + "
+                            "candidate-partition sorts + P-row plumbing",
+    "corpus_heaps_law": "type aggregate + new-type join + one exact_ntile "
+                        "pass + 10-row cumulative; types, not tokens, "
+                        "cross every post-explosion shuffle",
+    "ml_gains_table": "one exact_ntile pass over (score, pos) pairs + "
+                      "10-row decile arithmetic",
 }
 
 
