@@ -7561,9 +7561,10 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge named (feature store, CF, active users, interval sweep, markov,
 # dHash, Viterbi, k-core, triangles, bloom-prefilter, market basket,
 # Holt, p-chart, DiD, ECE, AUC), then registry-order backfill from the
-# residue.  46 remain for the r7 rotation.  Queries added during r6
-# displace backfill slots so new surface meets the gate in its birth
-# round.
+# residue; round-6's 17 new queries displaced backfill slots so new
+# surface meets the gate in its birth round.  Never-certified residue
+# after this window: 63 entries (46 r5 + 17-minus-window r6), queued
+# for the r7 rotation.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = (
