@@ -156,7 +156,11 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             gram.join(v.select(F.col("i").alias("j"), "vm"), "j")
             .groupBy("i")
             .agg(
-                F.sum((F.col("g") * F.col("vm")).cast("decimal(38,0)")).alias(
+                # widen BEFORE multiplying: |g| grows with corpus size and
+                # g*vm exceeds int64 (~5e21 at sf0.1) — casting the
+                # PRODUCT would overflow in long first (the round-5 EM
+                # lesson, caught again here by the sf0.1 sweep)
+                F.sum(F.col("g").cast("decimal(38,0)") * F.col("vm")).alias(
                     "wd"
                 )
             )
