@@ -7605,9 +7605,6 @@ _DRIVER_WINDOW_FIRST = (
     # order (the rest queue for the r7 rotation) --
     "agg_countmin_frequency",
     "corpus_url_blocklist",
-    "text_encoding_repair",
-    "quality_profile_columns",
-    "embedding_mean_pool",
     # -- new in round 6 (never certified by definition; displace the
     # last backfill slots): the ranks-primitive surface + Heaps/novelty --
     "orders_lorenz_curve",
@@ -7627,6 +7624,9 @@ _DRIVER_WINDOW_FIRST = (
     "events_funnel_time_bound",
     "agg_poisson_bootstrap_ci",
     "events_dow_hour_heatmap",
+    "text_char_entropy",
+    "orders_supplier_hhi",
+    "events_fano_burstiness",
 )
 
 
@@ -7679,5 +7679,6 @@ from . import llm_round6b  # noqa: E402,F401  (Wilson CI / path trigrams / quara
 from . import llm_round6c  # noqa: E402,F401  (PCA power iteration / BPE merge learning)
 from . import llm_round6d  # noqa: E402,F401  (PR curve-AP / gains table / Neyman allocation / JSONL sink)
 from . import llm_round6e  # noqa: E402,F401  (time-bound funnel / Poisson bootstrap CI / dow-hour heatmap)
+from . import llm_round6f  # noqa: E402,F401  (char entropy / supplier HHI / Fano burstiness)
 
 _reorder_registry()
