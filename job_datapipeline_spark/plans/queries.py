@@ -7599,12 +7599,10 @@ _DRIVER_WINDOW_FIRST = (
     "events_holt_forecast",
     "quality_control_pchart",
     "events_diff_in_diff",
-    "ml_calibration_ece",
-    "ml_auc_rank",
     # -- backfill from the remaining never-certified residue, registry
     # order (the rest queue for the r7 rotation) --
-    "agg_countmin_frequency",
-    "corpus_url_blocklist",
+    "ml_calibration_ece",
+    "ml_auc_rank",
     # -- new in round 6 (never certified by definition; displace the
     # last backfill slots): the ranks-primitive surface + Heaps/novelty --
     "orders_lorenz_curve",
@@ -7627,6 +7625,8 @@ _DRIVER_WINDOW_FIRST = (
     "text_char_entropy",
     "orders_supplier_hhi",
     "events_fano_burstiness",
+    "customer_segment_migration",
+    "events_hill_tail_index",
 )
 
 
@@ -7680,5 +7680,6 @@ from . import llm_round6c  # noqa: E402,F401  (PCA power iteration / BPE merge l
 from . import llm_round6d  # noqa: E402,F401  (PR curve-AP / gains table / Neyman allocation / JSONL sink)
 from . import llm_round6e  # noqa: E402,F401  (time-bound funnel / Poisson bootstrap CI / dow-hour heatmap)
 from . import llm_round6f  # noqa: E402,F401  (char entropy / supplier HHI / Fano burstiness)
+from . import llm_round6g  # noqa: E402,F401  (segment migration / Hill tail index)
 
 _reorder_registry()
