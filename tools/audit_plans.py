@@ -222,6 +222,11 @@ KNOWN = {
                         "cross every post-explosion shuffle",
     "ml_gains_table": "one exact_ntile pass over (score, pos) pairs + "
                       "10-row decile arithmetic",
+    "customer_segment_migration": "two exact_ntile passes (one per history "
+                                  "half) over the customer dim + the "
+                                  "dim-keyed full-outer join; orders "
+                                  "collapse in two date-pruned partial "
+                                  "aggs first",
 }
 
 
