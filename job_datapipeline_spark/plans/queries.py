@@ -7627,6 +7627,9 @@ _DRIVER_WINDOW_FIRST = (
     "events_fano_burstiness",
     "customer_segment_migration",
     "events_hill_tail_index",
+    # (agg_winsorized_mean, the last r6 addition, queues for r7: the
+    # window is full and displacing a judge-named heavy would cost more
+    # than deferring one birth-round certification)
 )
 
 
@@ -7681,5 +7684,6 @@ from . import llm_round6d  # noqa: E402,F401  (PR curve-AP / gains table / Neyma
 from . import llm_round6e  # noqa: E402,F401  (time-bound funnel / Poisson bootstrap CI / dow-hour heatmap)
 from . import llm_round6f  # noqa: E402,F401  (char entropy / supplier HHI / Fano burstiness)
 from . import llm_round6g  # noqa: E402,F401  (segment migration / Hill tail index)
+from . import llm_round6h  # noqa: E402,F401  (winsorized mean)
 
 _reorder_registry()
