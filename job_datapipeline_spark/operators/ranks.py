@@ -49,6 +49,18 @@ def _cols(order_cols: Sequence[OrderCol]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
+def int_div(a: Column, b: Column | int) -> Column:
+    """Exact floor division of a non-negative bigint by a positive divisor.
+
+    ``F.floor(a / b)`` routes through IEEE double and can mis-round once a
+    exceeds 2^53, quietly undercutting the exact-at-any-scale contract of
+    the rank-pick expressions built on it.  ``(a - a % b)`` is exactly
+    divisible by b; dividing it in DECIMAL(38,0) keeps every intermediate
+    integral, so the pick stays exact at any n."""
+    exact = (a - (a % b)).cast("decimal(38,0)")
+    return (exact / b).cast("long")
+
+
 def stamp_range_partitions(
     df: DataFrame, order_cols: Sequence[OrderCol]
 ) -> DataFrame:
@@ -129,6 +141,12 @@ def global_cumsum(
     partitioned window (the KS statistic needs two over the same
     order)."""
     single = isinstance(value_col, str)
+    if single != isinstance(out_col, str):
+        # a list value_col with the default string out_col would otherwise
+        # become list('cum') == ['c','u','m'] — reject mixed kinds outright
+        raise TypeError(
+            "value_col and out_col must both be str or both be sequences"
+        )
     value_cols = [value_col] if single else list(value_col)
     out_cols = [out_col] if single else list(out_col)
     if len(value_cols) != len(out_cols):
@@ -154,6 +172,42 @@ def global_cumsum(
     return out.drop(*drops)
 
 
+def global_cummin(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    value_col: str,
+    *,
+    out_col: str = "cummin",
+    exclusive: bool = False,
+) -> DataFrame:
+    """``min(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
+    [AND 1 PRECEDING])`` without a single-partition window: per-partition
+    running mins plus a broadcast carry-in (the min of every PRECEDING
+    partition's min, via the same triangular P-row self-join the prefix
+    sums use).  ``exclusive=True`` gives the strictly-preceding frame the
+    skyline sweep needs; rows with no preceding value get NULL there
+    (``F.least`` skips the NULL side unless both are NULL)."""
+    part = stamp_range_partitions(df, order_cols)
+    partials = part.groupBy(_PID).agg(F.min(value_col).alias("_pmin"))
+    a = partials.alias("a")
+    b = F.broadcast(partials.alias("b"))
+    carry = (
+        a.join(b, F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.min(F.col("b._pmin")).alias("_carry"))
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    return (
+        part.join(F.broadcast(carry), _PID)
+        .withColumn(out_col, F.least(F.min(value_col).over(w), F.col("_carry")))
+        .drop(_PID, "_carry")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: Sequence[OrderCol],
@@ -172,12 +226,12 @@ def exact_ntile(
     total = counts.groupBy().agg(
         F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_n")
     )
-    base = F.floor(F.col("_n") / k)  # rows in a short bucket
+    base = int_div(F.col("_n"), k)  # rows in a short bucket
     rem = F.col("_n") % k  # number of long (base+1) buckets, first
     in_long = F.col(rn) <= rem * (base + 1)
     bucket = (
-        F.when(in_long, F.floor((F.col(rn) - 1) / (base + 1)) + 1).otherwise(
-            rem + F.floor((F.col(rn) - rem * (base + 1) - 1) / base) + 1
+        F.when(in_long, int_div(F.col(rn) - 1, base + 1) + 1).otherwise(
+            rem + int_div(F.col(rn) - rem * (base + 1) - 1, base) + 1
         )
     ).cast("int")
     return (
@@ -193,6 +247,7 @@ def exact_rank_values(
     rank_exprs: Sequence[Callable[[Column], Column]],
     *,
     rn_col: str = "rn",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Rows sitting at exact global ranks (e.g. the p25/p75 picks an EM
     initializer needs), where each requested rank is an expression of the
@@ -203,7 +258,10 @@ def exact_rank_values(
     requested rank enter the sort window — the rest are pruned before the
     shuffle, so the cost is O(n/P log(n/P)) on a handful of partitions
     rather than a global sort.  Returns the matching rows with their
-    global rank in ``rn_col``."""
+    global rank in ``rn_col``; with ``total_col`` set, the total row
+    count n rides along too (it is already computed for the pruning
+    predicate — keeping it saves callers a second full count pass over
+    the input)."""
     part = stamp_range_partitions(df, order_cols)
     counts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
     offsets = _prefix_offsets(counts, "_cnt").join(counts, _PID)
@@ -226,7 +284,10 @@ def exact_rank_values(
     for rk in rank_exprs:
         c = F.col(rn_col) == rk(n)
         keep = c if keep is None else (keep | c)
-    return numbered.where(keep).drop(_PID, "_off", "_n")
+    out = numbered.where(keep).drop(_PID, "_off")
+    if total_col is None:
+        return out.drop("_n")
+    return out.withColumnRenamed("_n", total_col)
 
 
 def ordered_neighbor_carry(

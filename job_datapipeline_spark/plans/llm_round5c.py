@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import global_cummin
 from .queries import _scratch_dir, register
 
 # ---------------------------------------------------------------------------
@@ -410,15 +411,14 @@ def sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coexist on the frontier. Implemented in the DISTRIBUTIVE "
         "two-level form, not the naive O(n^2) dominance scan the oracle "
         "mirrors: (1) per-price min-size aggregate (partial-aggregatable "
-        "map-side), (2) ONE running-min window over the DISTINCT-PRICE "
-        "frame — orders of magnitude smaller than the table — keeping "
-        "prices whose min-size strictly beats every cheaper price, "
-        "(3) a broadcast semi-join back to recover the frontier parts. "
-        "Prices compare as exact integer cents throughout. At 100 TB "
-        "the window frame is bounded by distinct prices; if even that "
-        "explodes, the skyline is distributive: local frontier per "
-        "range-bucket, then the same algorithm over the union of local "
-        "frontiers — the documented escalation, same two operators.",
+        "map-side), (2) ONE exclusive running min over the DISTINCT-"
+        "PRICE frame via operators/ranks.global_cummin (range "
+        "partitions + a broadcast P-row carry-in — NO single-partition "
+        "window, so even a price grid that saturates its cent "
+        "resolution never lands on one task), keeping prices whose "
+        "min-size strictly beats every cheaper price, (3) a broadcast "
+        "semi-join back to recover the frontier parts. Prices compare "
+        "as exact integer cents throughout.",
 )
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").select(
@@ -427,12 +427,14 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
     )
     by_price = part.groupBy("price_cents").agg(F.min("p_size").alias("min_size"))
-    w = (
-        Window.orderBy("price_cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     frontier_prices = (
-        by_price.withColumn("run_min", F.min("min_size").over(w))
+        global_cummin(
+            by_price,
+            ["price_cents"],
+            "min_size",
+            out_col="run_min",
+            exclusive=True,
+        )
         .filter(F.col("run_min").isNull() | (F.col("min_size") < F.col("run_min")))
         .select("price_cents", "min_size")
     )

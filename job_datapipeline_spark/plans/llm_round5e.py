@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import global_cumsum
 from .queries import register
 from .llm_round5d import _SCORE_SQL, _score_micro
 
@@ -494,14 +495,16 @@ def ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "single-threshold view, and how filter scores are audited "
         "before picking any threshold at all. The 100 TB shape: one "
         "partial-aggregatable groupBy collapses the corpus to the "
-        "DISTINCT-SCORE frame (bounded by score resolution, here "
-        "micro-unit ratios), the rank cumsum window runs on that "
-        "bounded frame, and the final fold is a 1-row aggregate — the "
-        "corpus is scanned once and the only window never sees raw "
-        "rows. All rank sums are exact bigints; the single closing "
-        "division is one IEEE op rounded to micro-units (overflow "
-        "headroom to ~2^53 micro-rank-sums; the documented escalation "
-        "beyond that is DECIMAL(38) accumulation, same plan).",
+        "DISTINCT-SCORE frame, the rank cumsum runs on that frame via "
+        "operators/ranks.global_cumsum (range partitions + broadcast "
+        "prefix offsets — NO single-partition window, so even a score "
+        "domain that saturates its ~1e6-value resolution never lands "
+        "on one task), and the final fold is a 1-row aggregate — the "
+        "corpus is scanned once and no window ever sees raw rows. All "
+        "rank sums are exact bigints; the single closing division is "
+        "one IEEE op rounded to micro-units (overflow headroom to "
+        "~2^53 micro-rank-sums; the documented escalation beyond that "
+        "is DECIMAL(38) accumulation, same plan).",
 )
 def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = table(spark, sf_dir, "documents").select(
@@ -511,9 +514,10 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = scored.groupBy("score").agg(
         F.count("*").alias("cnt"), F.sum("pos").cast("bigint").alias("n_pos_g")
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = grp.withColumn(
-        "first_rank", 1 + F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    # inclusive distributed cumsum, then back off this group's own count:
+    # first_rank = 1 + (rows with a strictly smaller score)
+    ranked = global_cumsum(grp, ["score"], "cnt", out_col="_cum").withColumn(
+        "first_rank", 1 + F.col("_cum") - F.col("cnt")
     )
     agg = ranked.agg(
         F.sum("n_pos_g").cast("bigint").alias("n_pos"),

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import int_div
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -371,7 +372,7 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n_pairs"),
             F.max(
                 F.when(
-                    F.col("rk") == F.floor((F.col("n") + 1) / 2),
+                    F.col("rk") == int_div(F.col("n") + 1, 2),
                     F.col("slope_micro"),
                 )
             )

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.ranks import global_cumsum, int_div
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -281,8 +282,6 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    from ..operators.ranks import global_cumsum
-
     ranked = global_cumsum(
         revenue, [F.col("cents").desc(), "pk"], "cents", out_col="cum"
     )
@@ -457,7 +456,7 @@ def orders_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.when(
-                    F.col("rk") == F.floor((F.col("n") + 1) / 2),
+                    F.col("rk") == int_div(F.col("n") + 1, 2),
                     F.col("resid_cents"),
                 )
             )
@@ -475,7 +474,7 @@ def orders_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max(
-                F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("dev"))
+                F.when(F.col("rk") == int_div(F.col("n") + 1, 2), F.col("dev"))
             )
             .cast("bigint")
             .alias("mad_resid")

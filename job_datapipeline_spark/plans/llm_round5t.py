@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.ranks import global_row_number, ordered_neighbor_carry
+from ..operators.ranks import global_row_number, ordered_neighbor_carry, int_div
 from .queries import register
 from .queries import _scratch_dir
 
@@ -366,13 +366,13 @@ def orders_cycle_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("bigint").alias("n_lines"),
             F.max(
-                F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("d"))
+                F.when(F.col("rk") == int_div(F.col("n") + 1, 2), F.col("d"))
             )
             .cast("bigint")
             .alias("p50_days"),
             F.max(
                 F.when(
-                    F.col("rk") == F.floor((9 * F.col("n") + 9) / 10), F.col("d")
+                    F.col("rk") == int_div(9 * F.col("n") + 9, 10), F.col("d")
                 )
             )
             .cast("bigint")

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.ranks import exact_rank_values
+from ..operators.ranks import exact_rank_values, int_div
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -186,8 +186,8 @@ def ml_em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # p25/p75 rank picks come from operators/ranks.exact_rank_values —
     # per-partition counts + broadcast offsets locate the two target
     # ranks, and only the partitions containing them are sorted.
-    p25 = lambda n: F.floor((n + 3) / 4).cast("long")  # noqa: E731
-    p75 = lambda n: F.floor((3 * n + 3) / 4).cast("long")  # noqa: E731
+    p25 = lambda n: int_div(n + 3, 4)  # noqa: E731
+    p75 = lambda n: int_div(3 * n + 3, 4)  # noqa: E731
     stats = data.agg(
         F.count("*").alias("n"),
         F.sum("d").alias("s"),

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.text import tokenize, word_ngrams
-from ..operators.ranks import exact_ntile, exact_rank_values
+from ..operators.ranks import exact_ntile, exact_rank_values, int_div
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -270,44 +270,41 @@ def agg_exact_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds both rank-pick passes + the count
     )
-    lo = lambda n: F.floor((n + 1) / 2).cast("long")  # noqa: E731
-    hi = lambda n: F.floor((n + 2) / 2).cast("long")  # noqa: E731
-    n_frame = data.agg(F.count("*").cast("bigint").alias("n"))
-    picks = exact_rank_values(data, ["v", "o_orderkey"], [lo, hi], rn_col="rn")
-    med = (
-        picks.crossJoin(F.broadcast(n_frame))
-        .agg(
-            (
-                F.sum(F.when(F.col("rn") == lo(F.col("n")), F.col("v")))
-                + F.sum(F.when(F.col("rn") == hi(F.col("n")), F.col("v")))
-            )
-            .cast("bigint")
-            .alias("med_x2")
-        )
+    lo = lambda n: int_div(n + 1, 2)  # noqa: E731
+    hi = lambda n: int_div(n + 2, 2)  # noqa: E731
+    # each rank-pick pass carries the total it already computed for its
+    # pruning predicate (total_col), so no separate count pass and no
+    # broadcast n_frame crossJoins
+    picks = exact_rank_values(
+        data, ["v", "o_orderkey"], [lo, hi], rn_col="rn", total_col="n"
     )
-    dev = data.crossJoin(F.broadcast(med)).select(
+    med = picks.agg(
+        (
+            F.sum(F.when(F.col("rn") == lo(F.col("n")), F.col("v")))
+            + F.sum(F.when(F.col("rn") == hi(F.col("n")), F.col("v")))
+        )
+        .cast("bigint")
+        .alias("med_x2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    dev = data.crossJoin(F.broadcast(med.select("med_x2"))).select(
         F.abs(2 * F.col("v") - F.col("med_x2")).alias("dv"), "o_orderkey"
     )
-    picks2 = exact_rank_values(dev, ["dv", "o_orderkey"], [lo, hi], rn_col="rn")
-    mad = (
-        picks2.crossJoin(F.broadcast(n_frame))
-        .agg(
-            (
-                F.sum(F.when(F.col("rn") == lo(F.col("n")), F.col("dv")))
-                + F.sum(F.when(F.col("rn") == hi(F.col("n")), F.col("dv")))
-            )
-            .cast("bigint")
-            .alias("mad_x4")
-        )
+    picks2 = exact_rank_values(
+        dev, ["dv", "o_orderkey"], [lo, hi], rn_col="rn", total_col="n"
     )
-    return (
-        n_frame.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(mad))
-        .select(
-            F.col("n").alias("n_orders"),
-            F.col("med_x2").alias("median_cents_x2"),
-            F.col("mad_x4").alias("mad_cents_x4"),
+    mad = picks2.agg(
+        (
+            F.sum(F.when(F.col("rn") == lo(F.col("n")), F.col("dv")))
+            + F.sum(F.when(F.col("rn") == hi(F.col("n")), F.col("dv")))
         )
+        .cast("bigint")
+        .alias("mad_x4")
+    )
+    return med.crossJoin(F.broadcast(mad)).select(
+        F.col("n").alias("n_orders"),
+        F.col("med_x2").alias("median_cents_x2"),
+        F.col("mad_x4").alias("mad_cents_x4"),
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.ranks import exact_rank_values
+from ..operators.ranks import exact_rank_values, int_div
 from .queries import register
 
 
@@ -75,21 +75,22 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds the rank-pick pass AND the clamp scan
     )
-    p05 = lambda n: F.floor((n + 19) / 20).cast("long")  # noqa: E731
-    p95 = lambda n: F.floor((19 * n + 19) / 20).cast("long")  # noqa: E731
-    n_frame = data.agg(F.count("*").cast("bigint").alias("n"))
-    picks = exact_rank_values(data, ["v", "o_orderkey"], [p05, p95], rn_col="rn")
-    bounds = (
-        picks.crossJoin(F.broadcast(n_frame))
-        .agg(
-            F.max(F.when(F.col("rn") == p05(F.col("n")), F.col("v")))
-            .cast("bigint")
-            .alias("lo_v"),
-            F.max(F.when(F.col("rn") == p95(F.col("n")), F.col("v")))
-            .cast("bigint")
-            .alias("hi_v"),
-            F.max("n").cast("bigint").alias("n"),
-        )
+    p05 = lambda n: int_div(n + 19, 20)  # noqa: E731
+    p95 = lambda n: int_div(19 * n + 19, 20)  # noqa: E731
+    # ONE pruned rank-pick pass serves both percentiles AND the total row
+    # count (total_col keeps the n the pruning predicate already computed,
+    # saving the separate full count pass + its broadcast crossJoin).
+    picks = exact_rank_values(
+        data, ["v", "o_orderkey"], [p05, p95], rn_col="rn", total_col="n"
+    )
+    bounds = picks.agg(
+        F.max(F.when(F.col("rn") == p05(F.col("n")), F.col("v")))
+        .cast("bigint")
+        .alias("lo_v"),
+        F.max(F.when(F.col("rn") == p95(F.col("n")), F.col("v")))
+        .cast("bigint")
+        .alias("hi_v"),
+        F.max("n").cast("bigint").alias("n"),
     )
     clamped = data.crossJoin(F.broadcast(bounds)).agg(
         F.max("n").cast("bigint").alias("n_orders"),

@@ -57,6 +57,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _SCRATCH_ROOTS: set[str] = set()
 
 
+def _proc_start_ticks(pid: int) -> int | None:
+    """The process start time in clock ticks since boot (/proc/<pid>/stat
+    field 22) — the stable identity that distinguishes a live pid from a
+    RECYCLED one.  None where /proc is unavailable (non-Linux)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read()
+        # comm (field 2) may itself contain spaces/parens; everything
+        # after the LAST ')' is whitespace-delimited, starting at field 3
+        return int(stat.rsplit(b")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _scratch_dir(key: str) -> str:
     """A stable per-query scratch directory, wiped on every call.
 
@@ -76,7 +90,11 @@ def _scratch_dir(key: str) -> str:
     runs independent. Disk stays bounded across invocations two ways (a
     '/tmp reaper' is not guaranteed on Linux hosts): this process's root
     is rmtree'd at interpreter exit, and stale sibling roots whose pid no
-    longer exists are swept on first use.
+    longer exists are swept on first use.  Liveness is NOT keyed on
+    kill(pid, 0) alone: a recycled pid would make an orphaned root look
+    alive forever, so each root records its owner's /proc start-time
+    stamp and a live pid whose current start time mismatches the stamp
+    is treated as recycled and swept.
     """
     import atexit
     import getpass
@@ -90,6 +108,14 @@ def _scratch_dir(key: str) -> str:
     if root not in _SCRATCH_ROOTS:
         _SCRATCH_ROOTS.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _os.makedirs(root, exist_ok=True)
+        own_start = _proc_start_ticks(_os.getpid())
+        if own_start is not None:
+            try:
+                with open(_os_path.join(root, "_owner_start"), "w") as fh:
+                    fh.write(str(own_start))
+            except OSError:
+                pass
         # Sweep siblings left by crashed/killed processes: a root named
         # for a pid that is no longer alive can never be wiped by its
         # owner.  kill(pid, 0) probes liveness without signalling; EPERM
@@ -105,15 +131,26 @@ def _scratch_dir(key: str) -> str:
                     continue
                 if pid == _os.getpid():
                     continue
+                sib = _os_path.join(tempfile.gettempdir(), entry)
                 try:
                     _os.kill(pid, 0)
                 except ProcessLookupError:
-                    shutil.rmtree(
-                        _os_path.join(tempfile.gettempdir(), entry),
-                        ignore_errors=True,
-                    )
+                    shutil.rmtree(sib, ignore_errors=True)
+                    continue
                 except OSError:
                     continue
+                # pid is alive — but is it the ORIGINAL owner?  Compare
+                # the stamp written at root creation with the live pid's
+                # current start time; a mismatch means the pid was
+                # recycled and the root is orphaned.
+                try:
+                    with open(_os_path.join(sib, "_owner_start")) as fh:
+                        stamped = int(fh.read().strip())
+                except (OSError, ValueError):
+                    continue  # pre-stamp root or unreadable: leave it
+                live = _proc_start_ticks(pid)
+                if live is not None and live != stamped:
+                    shutil.rmtree(sib, ignore_errors=True)
         except OSError:
             pass
     path = _os_path.join(root, key)
@@ -7552,84 +7589,103 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After this round every other registry entry will have a hard driver row
 # (target: >=150/159 cumulative).
 #
-# Round-6 rotation (this window): rounds 1-5 hard-certified 198 distinct
-# queries; the never-certified residue is the 96 r5-new entries that
-# missed r5's 50-slot window (including the two r5 driver-reds, whose
-# oracle CAST bugs are fixed this round).  This window leads with those
-# two, then the ten plans rewritten onto operators/ranks (so the
-# rewrites get hard rows, not just local green), then the heavies the
-# judge named (feature store, CF, active users, interval sweep, markov,
-# dHash, Viterbi, k-core, triangles, bloom-prefilter, market basket,
-# Holt, p-chart, DiD, ECE, AUC), then registry-order backfill from the
-# residue; round-6's 17 new queries displaced backfill slots so new
-# surface meets the gate in its birth round.  Never-certified residue
-# after this window: 63 entries (46 r5 + 17-minus-window r6), queued
-# for the r7 rotation.
+# Round-7 rotation (this window): rounds 1-6 hard-certified 248 distinct
+# queries; the never-certified residue is exactly 69 entries (the r5/r6
+# late waves that missed their birth-round windows — all verified green
+# by the round-6 judge's sf0.01 re-run, so this is certification debt,
+# not correctness risk).  This window takes 50 of the 69, leading with
+# the three plans REWRITTEN this round (pareto_frontier +
+# agg_winsorized_mean onto operators/ranks primitives, plus the judge-
+# named stats/BI waves: Benford, trimmed mean, weighted median, the
+# orders_* BI suite, events_* ops analytics, classification metrics,
+# snapshot diff, SCD2, incremental MV), then registry-order backfill.
+#
+# r8 ENDGAME COMMITMENT: the 19 deferred entries are listed in
+# _R8_QUEUE below; round 7 adds at most 31 - |r7 new| further entries so
+# the r8 window covers (19 + all r7-new) and the terminal state is every
+# registry entry driver-certified at least once.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = (
-    # -- the two round-5 driver-red rows (oracle CAST bugs, fixed in r6:
-    # DuckDB HUGEINT -> pandas float64 rendering): certify the fix --
-    "corpus_mix_budget",
-    "text_cdc_chunk_match",
-    # -- the ten single-partition-window plans rewritten onto
-    # operators/ranks in round 6: hard-certify the rewrites --
-    "ml_em_gaussian_mixture",
-    "causal_matched_cohort",
-    "corpus_curriculum_schedule",
-    "orders_rfm_segmentation",
-    "orders_abc_classification",
-    "orders_abc_xyz_matrix",
-    "mart_star_schema_build",
-    "agg_ks_test",
-    "agg_mann_whitney",
-    "supplier_scorecard",
-    # -- the r5-new heavies the judge prioritized for this rotation --
-    "ml_feature_store_build",
-    "recsys_item_item_cf",
-    "events_active_users",
-    "orders_open_interval_sweep",
-    "events_markov_transitions",
-    "multimodal_image_dhash",
-    "events_burst_viterbi",
-    "graph_kcore_peel",
-    "graph_triangle_clustering",
-    "join_bloom_prefilter",
-    "orders_market_basket",
-    "events_holt_forecast",
-    "quality_control_pchart",
-    "events_diff_in_diff",
-    # -- backfill from the remaining never-certified residue, registry
-    # order (the rest queue for the r7 rotation) --
-    "ml_calibration_ece",
-    "ml_auc_rank",
-    # -- new in round 6 (never certified by definition; displace the
-    # last backfill slots): the ranks-primitive surface + Heaps/novelty --
-    "orders_lorenz_curve",
-    "corpus_length_deciles",
-    "agg_exact_median_mad",
-    "corpus_heaps_law",
-    "text_ngram_novelty",
-    "orders_wilson_ci",
-    "events_path_trigrams",
-    "quality_quarantine_split",
-    "embedding_pca_power_iteration",
-    "tokenizer_bpe_learn",
-    "ml_pr_curve",
-    "ml_gains_table",
-    "corpus_neyman_allocation",
-    "sink_roundtrip_jsonl",
-    "events_funnel_time_bound",
-    "agg_poisson_bootstrap_ci",
-    "events_dow_hour_heatmap",
-    "text_char_entropy",
-    "orders_supplier_hhi",
-    "events_fano_burstiness",
-    "customer_segment_migration",
-    "events_hill_tail_index",
-    # (agg_winsorized_mean, the last r6 addition, queues for r7: the
-    # window is full and displacing a judge-named heavy would cost more
-    # than deferring one birth-round certification)
+    # -- rewritten this round onto operators/ranks (global_cummin /
+    # single-pass exact_rank_values): certify the rewrites --
+    "pareto_frontier",
+    "agg_winsorized_mean",
+    # -- the judge-named r5 stats/BI/ops waves --
+    "agg_benford_audit",
+    "agg_trimmed_mean",
+    "agg_weighted_median",
+    "agg_mode_exact",
+    "agg_gini_concentration",
+    "agg_chi2_independence",
+    "agg_countmin_frequency",
+    "ml_classification_metrics",
+    "ml_feature_scaling",
+    "snapshot_diff",
+    "scd2_apply_changes",
+    "mv_incremental_maintenance",
+    "orders_cohort_ltv",
+    "orders_interpurchase_gaps",
+    "orders_seasonality_index",
+    "orders_survival_km",
+    "orders_trend_ols",
+    "orders_duplicate_invoices",
+    "orders_theil_sen_trend",
+    "orders_aging_buckets",
+    "orders_seasonal_anomaly",
+    "orders_cycle_time_trend",
+    "orders_price_waterfall",
+    "orders_bridge_decomposition",
+    "orders_discount_lift",
+    "orders_littles_law",
+    "events_interpolate_linear",
+    "events_cusum_drift",
+    "events_session_window_native",
+    "events_new_user_growth",
+    "events_bot_detection",
+    "events_error_rate_slo",
+    "events_ewma_daily",
+    "events_ab_test_ztest",
+    "events_jaccard_affinity",
+    "events_twap_daily",
+    "events_attribution_models",
+    "events_rle_paths",
+    "events_forecast_backtest",
+    # -- corpus/text/embedding residue --
+    "corpus_url_blocklist",
+    "corpus_preference_pairs",
+    "corpus_negative_samples",
+    "corpus_psi_drift",
+    "text_encoding_repair",
+    "text_rrf_fusion",
+    "text_pmi_collocations",
+    "text_lexical_diversity",
+    "embedding_mean_pool",
+)
+
+# The 19 never-certified entries deferred to the round-8 window (plus
+# every query round 7 adds).  r8's _DRIVER_WINDOW_FIRST must be exactly
+# this queue + the r7-new names; after that, full coverage.
+_R8_QUEUE = (
+    "quality_profile_columns",
+    "join_size_estimate",
+    "sink_roundtrip_orc",
+    "join_skew_diagnosis",
+    "corpus_quality_ablation_report",
+    "text_readability_scores",
+    "embedding_gram_matrix",
+    "text_sparse_cosine_topk",
+    "compliance_cascade_delete",
+    "geo_nearest_supplier",
+    "text_rake_keyphrases",
+    "layout_zorder_tiles",
+    "audit_scan_provenance",
+    "compaction_bin_packing",
+    "ann_mmr_diverse_topk",
+    "part_reorder_rate",
+    "embedding_isotropy_report",
+    "layout_bucketed_join",
+    "ops_backfill_planner",
 )
 
 
@@ -7639,6 +7695,12 @@ def _reorder_registry() -> None:
         raise AssertionError(f"priority list names unknown queries: {missing}")
     if len(set(_DRIVER_WINDOW_FIRST)) != len(_DRIVER_WINDOW_FIRST):
         raise AssertionError("duplicate names in priority list")
+    bad = [n for n in _R8_QUEUE if n not in REGISTRY]
+    if bad:
+        raise AssertionError(f"r8 queue names unknown queries: {bad}")
+    overlap = set(_R8_QUEUE) & set(_DRIVER_WINDOW_FIRST)
+    if overlap:
+        raise AssertionError(f"r8 queue overlaps the r7 window: {overlap}")
     head = set(_DRIVER_WINDOW_FIRST)
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW_FIRST}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in head})
@@ -7685,5 +7747,6 @@ from . import llm_round6e  # noqa: E402,F401  (time-bound funnel / Poisson boots
 from . import llm_round6f  # noqa: E402,F401  (char entropy / supplier HHI / Fano burstiness)
 from . import llm_round6g  # noqa: E402,F401  (segment migration / Hill tail index)
 from . import llm_round6h  # noqa: E402,F401  (winsorized mean)
+from . import llm_round7  # noqa: E402,F401  (HLL-sketch DAU/WAU/MAU escalation)
 
 _reorder_registry()

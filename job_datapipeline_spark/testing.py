@@ -48,10 +48,38 @@ def single_partition_windows(df) -> list[str]:
         +- Sort [...], false, 0
            +- Exchange SinglePartition
 
-    so the detector looks for ``Exchange SinglePartition`` within the two
-    tree lines following a Window node."""
+    but under AQE the Sort and Exchange may be separated by interposed
+    wrapper nodes (ShuffleQueryStage / AQEShuffleRead / ReusedExchange /
+    InputAdapter / WholeStageCodegen), so the detector walks the chain of
+    such pass-through nodes below the Window rather than a fixed two-line
+    lookahead, stopping at the first node that could repartition."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return single_partition_windows_in_plan(plan)
+
+
+# Nodes that sit between a Window and the Exchange that feeds it without
+# changing the partitioning: the window's own Sort, AQE stage wrappers,
+# and codegen plumbing.  Anything else ends the walk — a deeper
+# SinglePartition exchange (e.g. under a nested scalar aggregate) is NOT
+# feeding this window.
+_WINDOW_PASSTHROUGH = (
+    "Sort ",
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "ReusedExchange",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+)
+
+
+def _plan_node_body(line: str) -> str:
+    """Strip tree art (``:  +-``) and codegen tags (``*(4)``) from a
+    physical-plan line, leaving the node name onward."""
+    body = line.lstrip(" :+-")
+    if body.startswith("*("):
+        _, _, body = body.partition(") ")
+    return body
 
 
 def single_partition_windows_in_plan(plan: str) -> list[str]:
@@ -62,9 +90,15 @@ def single_partition_windows_in_plan(plan: str) -> list[str]:
     for i, line in enumerate(lines):
         if "Window" not in line or "windowspecdefinition" not in line:
             continue
-        tail = lines[i + 1 : i + 3]
-        if any("Exchange SinglePartition" in t for t in tail):
-            hits.append(line.strip())
+        for nxt in lines[i + 1 :]:
+            body = _plan_node_body(nxt)
+            if "Exchange SinglePartition" in nxt:
+                # direct child, or a ReusedExchange whose simpleString
+                # names the reused SinglePartition exchange
+                hits.append(line.strip())
+                break
+            if not body.startswith(_WINDOW_PASSTHROUGH):
+                break
     return hits
 
 

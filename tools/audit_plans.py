@@ -63,14 +63,8 @@ BOUNDED_GLOBAL_WINDOWS = {
                          "availability dim (|configured languages| rows)",
     "window_ratio_to_report": "ratio over the 25-nation rollup — the "
                               "nation domain is a fixed dimension",
-    "pareto_frontier": "running min over the DISTINCT-PRICE frame (price "
-                       "grid in cents, orders of magnitude below rows; "
-                       "docstring documents the distributive local-"
-                       "frontier escalation if even that explodes)",
     "agg_gini_concentration": "rank over the DISTINCT-SOURCE domain "
                               "(domains, not documents)",
-    "ml_auc_rank": "rank cumsum over DISTINCT micro-unit scores — "
-                   "bounded by score resolution (<= 1e6+1 rows)",
     "events_new_user_growth": "running sum over the day calendar",
     "orders_open_interval_sweep": "running open-count over the day calendar",
     "events_error_rate_slo": "running error budget over the day calendar",
@@ -227,6 +221,12 @@ KNOWN = {
                                   "dim-keyed full-outer join; orders "
                                   "collapse in two date-pruned partial "
                                   "aggs first",
+    "agg_winsorized_mean": "ONE pruned exact_rank_values pass serves both "
+                           "percentile picks AND the total (total_col); "
+                           "orders collapses to the cent-value checkpoint "
+                           "once, and every other exchange moves P-row "
+                           "offset plumbing or the broadcast 1-row bounds "
+                           "before the map-side clamp scan",
 }
 
 
