@@ -1,0 +1,231 @@
+"""Structured plan-shape allowlists, shared by tools/audit_plans.py (the
+report) and tests/test_scale_shapes.py (the asserted gate).
+
+Round 6's verdict flagged the drift hazard of a free-text allowlist:
+thirty-plus prose entries become "a place flags go to die" — a plan
+change that INFLATES an allowlisted query's shuffle count hides behind
+the old prose.  This module replaces the prose-only dict with per-query
+pins: every query allowed to exceed the exchange budget carries its
+expected exchange count, and ``tests/test_scale_shapes.py::
+test_pinned_exchange_counts_hold`` recompiles those plans and fails on
+any count above the pin (a DROP below the pin is also surfaced by the
+auditor as a note so the pin gets refreshed, keeping pins honest in
+both directions).
+
+Two families:
+
+- ``BOUNDED_GLOBAL_WINDOWS``: queries whose plan retains a
+  single-partition window BECAUSE the frame under it is bounded by a
+  calendar, a value grid, or a fixed domain that does not grow with row
+  count.  Anything else tripping the window detector must be rewritten
+  onto operators/ranks (the round-6/7 escalation that cleared
+  ml_auc_rank and pareto_frontier) or argued in here.
+- ``KNOWN``: queries whose flagged shape is understood.  The value is
+  ``(pinned_max_exchanges | None, reason)`` — the int pins the exchange
+  count for queries allowed past EXCHANGE_BUDGET; None means the flag
+  is NOT exchange-related (repeated bounded scans, a capability-demo
+  UDF, a full-outer SMJ) and any exchange-budget breach on that query
+  is an UNEXPLAINED regression.
+"""
+
+from __future__ import annotations
+
+EXCHANGE_BUDGET = 8
+
+BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
+    "corpus_dsir_importance": "windows over the hash-bucket count frame "
+                              "(fixed _DSIR_BUCKETS cells, a constant)",
+    "corpus_mix_budget": "total-tokens window over the per-LANGUAGE "
+                         "availability dim (|configured languages| rows)",
+    "window_ratio_to_report": "ratio over the 25-nation rollup — the "
+                              "nation domain is a fixed dimension",
+    "agg_gini_concentration": "rank over the DISTINCT-SOURCE domain "
+                              "(domains, not documents)",
+    "events_new_user_growth": "running sum over the day calendar",
+    "orders_open_interval_sweep": "running open-count over the day calendar",
+    "events_error_rate_slo": "running error budget over the day calendar",
+    "agg_chi2_independence": "contingency margins over nation x priority "
+                             "cells (fixed dimensions)",
+    "orders_aging_buckets": "share-of-total over the fixed aging-bucket "
+                            "frame (4 rows)",
+    "orders_seasonal_anomaly": "median/MAD windows over the day-calendar "
+                               "residual frame",
+    "orders_littles_law": "running WIP sweep over the day calendar",
+}
+
+KNOWN: dict[str, tuple[int | None, str]] = {
+    # -- exchange-count pins: the query is ALLOWED this many exchanges;
+    # one more fails the asserted gate --
+    "events_active_users": (12,
+        "exact sliding DISTINCT cannot partial-aggregate: DAU + two "
+        "countDistinct windows each pay their two-phase exchange, all on "
+        "the bounded (day, user) checkpoint — never the event log; the "
+        "sketch escalation is REGISTERED as events_active_users_sketch"),
+    "events_active_users_sketch": (17,
+        "exact-verification side (the events_active_users shape) + the "
+        "sketch side's per-day hll_sketch_agg and three window unions — "
+        "every sketch exchange moves calendar-sized kilobyte state; at "
+        "scale only the sketch side runs"),
+    "join_bloom_prefilter": (25,
+        "the K semi joins broadcast the SAME kilobyte bit table "
+        "(ReusedExchange at runtime: 8 reuses, 9 hash exchanges all on "
+        "1-row verdict frames); the fact table never shuffles before its "
+        "count aggregates"),
+    "orders_market_basket": (9,
+        "pairwise Apriori level: a bounded-frame self-join plus marginal "
+        "re-aggregations of the checkpointed items frame — every exchange "
+        "moves vocabulary- or basket-key-sized data, never the fact table"),
+    "dedup_incremental_batch": (10,
+        "exact-dup + LSH + verify + two output joins — stages shuffle on "
+        "different keys; hist/batch frames are checkpointed so none "
+        "recompute"),
+    "events_funnel": (11,
+        "one scan per funnel stage of a 3-stage pattern over a "
+        "pre-filtered event type each — stage scans are disjoint slices"),
+    "embedding_kmeans_refine": (10,
+        "two Lloyd iterations re-read the 500-row dim per assignment "
+        "step by design"),
+    "agg_sketch_mergeable": (9,
+        "per-group sketches + global union + the exact verification "
+        "sides each aggregate the narrow scan differently (exact side "
+        "documented small-scale-only)"),
+    "graph_pagerank_bipartite": (13,
+        "two power iterations x (contrib agg + rank join) over "
+        "checkpointed edge/degree frames — exchange count is "
+        "2/iteration by design"),
+    "corpus_pretrain_pipeline": (10,
+        "5-stage composition (classifier agg, chunking, chunk-dedup "
+        "window, temperature-sample agg, report union) — each wide stage "
+        "shuffles once over its checkpointed input"),
+    "tpch_market_share": (9,
+        "Q8: the widest TPC-H join graph (6 joins + final agg) "
+        "legitimately exceeds the budget by one"),
+    "ann_sq8_rerank": (9,
+        "5 of the 9 are kilobyte BroadcastExchanges (query codes, "
+        "candidate ids, recall flags); the 4 hash shuffles are the "
+        "designed minimum: code-dot agg, candidate top-k, rerank top-k, "
+        "and the in-plan brute-force recall verdict (small-scale-only)"),
+    "text_rake_keyphrases": (11,
+        "every exchange is keyed by doc_id or (doc_id, x) — per-document "
+        "data-parallel off one checkpointed token frame; the exchange "
+        "COUNT is constant in corpus size"),
+    "recsys_item_item_cf": (9,
+        "all after the 1-in-10 sample + hot cap shrink the frame: dedup, "
+        "cap filter, the customer-keyed pair self-join, the (a,b) "
+        "partial-combined count, and the per-part top-k window — the CF "
+        "algorithm's irreducible stages (measured 0.36% of naive pair "
+        "space, SCALE_GROWTH.md)"),
+    # operators/ranks consumers: the two-pass primitives trade ONE
+    # catastrophic single-partition stage for a few extra parallel
+    # exchanges; each pass costs a range exchange of the dim-sized
+    # frame, a pid re-cluster, and P-row partials/offsets aggregates.
+    "orders_rfm_segmentation": (10,
+        "three exact_ntile passes over the CUSTOMER dim; the orders fact "
+        "shuffles exactly once, into the per-customer rollup"),
+    "orders_abc_classification": (9,
+        "one global_cumsum pass over the PART dim; lineitem collapses in "
+        "one partial-agg exchange first"),
+    "orders_abc_xyz_matrix": (18,
+        "monthly-demand and revenue rollups collapse the fact; the "
+        "global_cumsum pass and the stats join all move part-dim or "
+        "P-row data"),
+    "agg_ks_test": (10,
+        "one global_cumsum pass (two running sums share it) over the "
+        "distinct-cent-value frame; orders collapses in one FILTER-count "
+        "partial agg first"),
+    "causal_matched_cohort": (10,
+        "one ordered_neighbor_carry pass over the customer dim; orders "
+        "collapses in one outcome partial agg first"),
+    "orders_lorenz_curve": (31,
+        "one exact_ntile pass over the customer dim + 10-row decile "
+        "arithmetic (every exchange past the orders rollup moves "
+        "customer-dim or P-/10-row frames); orders collapses in one "
+        "partial-agg exchange first"),
+    "corpus_length_deciles": (10,
+        "one exact_ntile pass over (doc_id, ntok) pairs; the corpus is "
+        "scanned once"),
+    "agg_exact_median_mad": (23,
+        "two pruned exact_rank_values passes (median, then MAD over the "
+        "broadcast-derived deviation column), each carrying its total "
+        "via total_col; each pass is one range exchange + candidate-"
+        "partition sorts + P-row plumbing"),
+    "agg_winsorized_mean": (13,
+        "ONE pruned exact_rank_values pass serves both percentile picks "
+        "AND the total (total_col); orders collapses to the cent-value "
+        "checkpoint once, and every other exchange moves P-row offset "
+        "plumbing or the broadcast 1-row bounds before the map-side "
+        "clamp scan"),
+    "corpus_heaps_law": (20,
+        "type aggregate + new-type join + one exact_ntile pass + 10-row "
+        "cumulative; types, not tokens, cross every post-explosion "
+        "shuffle"),
+    "ml_gains_table": (31,
+        "one exact_ntile pass over (score, pos) pairs + 10-row decile "
+        "arithmetic — same plumbing profile as orders_lorenz_curve"),
+    "customer_segment_migration": (20,
+        "two exact_ntile passes (one per history half) over the customer "
+        "dim + the dim-keyed full-outer join; orders collapse in two "
+        "date-pruned partial aggs first"),
+    # -- non-exchange shapes (pin None: any exchange-budget breach on
+    # these is an unexplained regression) --
+    "join_full_outer_nation_stats": (None,
+        "full outer join cannot broadcast; SMJ is correct"),
+    "setops_segments": (None,
+        "three set operations = three distinct shuffles each"),
+    "dedup_near_composed": (None,
+        "repeated candidate subtree collapses via ReusedExchange at "
+        "runtime (see operators/dedup.py near_dedup docstring)"),
+    "setops_intersect_except": (None,
+        "INTERSECT/EXCEPT each re-reference both inputs by definition; "
+        "orders is a narrow 2-col scan"),
+    "events_gapfill_hourly": (None,
+        "spine min/max + data side: the 1-row bounds scalar and the "
+        "rollup legitimately read events separately"),
+    "join_salted_hotkeys": (None,
+        "hot-key detection dim + both join branches read disjoint slices "
+        "of events"),
+    "quality_constraint_checks": (None,
+        "each Deequ-style constraint audits its own column slice of the "
+        "narrow orders scan"),
+    "dedup_embedding_composed": (None,
+        "bucket sides + verify + anti-join over the tiny embeddings dim "
+        "(500 rows); checkpoint would cost more than the rescans"),
+    "ann_ivf_topk": (None,
+        "corpus + centroid + query sides of the tiny embeddings dim"),
+    "corpus_curation": (None, "funnel stages read disjoint corpus slices"),
+    "corpus_mixture_sample": (None,
+        "counts dim + kept filter + plant branch over documents"),
+    "corpus_temperature_sample": (None,
+        "counts dim + kept filter over documents"),
+    "text_tfidf_top_terms": (None,
+        "tf/idf/corpus-size aggregates share the documents scan via "
+        "ReusedExchange at runtime"),
+    "text_unigram_logprob": (None,
+        "corpus LM + per-doc scoring read the token stream twice"),
+    "text_bigram_logprob": (None,
+        "corpus LM + per-doc scoring read the token stream twice"),
+    "corpus_decontaminate": (None,
+        "corpus/bench/plant branches are disjoint document slices"),
+    "dedup_lsh_candidates": (None,
+        "planted-corpus branches (base/exact/near) are three disjoint "
+        "scans feeding one checkpointed signature pass"),
+    "dedup_cluster_representatives": (None,
+        "planted branches + quality dim"),
+    "dedup_components": (None,
+        "planted branches feeding the checkpointed edge frame"),
+    "tpch_large_orders": (None,
+        "Q18 shape: the HAVING keep-list aggregate and the output sum "
+        "aggregate compute different things from lineitem by definition"),
+    "agg_quantile_sketch_mergeable": (None,
+        "KLL sketch sides + exact-median verification sides (exact side "
+        "documented small-scale-only)"),
+    "python_udtf_regex_spans": (None,
+        "UDTF capability demo; doc names posexplode over "
+        "regexp_extract_all as the native hot-path twin"),
+    "dedup_embedding_pairs": (None,
+        "brute-force verification BASELINE over the 500-row embeddings "
+        "dim; the scale path is the bucketed composed form"),
+    "text_bm25_search": (10,
+        "tf agg, df agg, dl agg, score agg, rank window — a 5-stage "
+        "linear pipeline over the checkpointed tf frame"),
+}

@@ -707,11 +707,18 @@ def test_classification_metrics_single_pass(spark, sf_dir):
 
 
 def test_auc_window_runs_on_distinct_score_frame(spark, sf_dir):
-    # the rank cumsum consumes the per-score aggregate, never raw rows;
-    # one corpus scan total.
-    plan = _plan(REGISTRY["ml_auc_rank"].fn(spark, sf_dir))
-    assert plan.count("documents.parquet]") == 1
-    assert "partial_count" in plan or "partial_sum" in plan
+    # the rank cumsum consumes the per-score aggregate, never raw rows:
+    # since the round-7 global_cumsum rewrite the corpus scan + score
+    # aggregate live inside the primitive's pinned checkpoint, so the
+    # visible plan reads the checkpoint RDD and keeps NO
+    # single-partition window (the reason for the rewrite).
+    from job_datapipeline_spark.testing import single_partition_windows
+
+    df = REGISTRY["ml_auc_rank"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "documents.parquet]" not in plan  # reads the pinned checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert single_partition_windows(df) == []
 
 
 # --- round-5 sixth-batch pins ------------------------------------------------
@@ -982,3 +989,78 @@ def test_benford_nine_row_broadcasts(spark, sf_dir):
     # the digit count's partial agg lives inside the eager checkpoint;
     # the visible plan partial-combines the total off the 9-row frame
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_pinned_exchange_counts_hold(spark, sf_dir):
+    # The asserted form of tools/audit_plans.py's allowlist (the round-6
+    # verdict's "pins, not prose" conversion): every query allowed past
+    # the exchange budget carries a pinned max count in plan_pins.KNOWN;
+    # a plan change that inflates an allowlisted query's shuffle count
+    # fails HERE instead of hiding behind the old free-text reason.
+    from job_datapipeline_spark.plan_pins import KNOWN
+
+    over = []
+    for name, (pin, _reason) in KNOWN.items():
+        if pin is None:
+            continue
+        assert name in REGISTRY, f"pinned query {name} not registered"
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        n_ex = plan.count("Exchange")
+        if n_ex > pin:
+            over.append(f"{name}: {n_ex} exchanges > pin {pin}")
+    assert not over, "; ".join(over)
+
+
+def test_pin_and_window_allowlists_name_real_queries(spark):
+    from job_datapipeline_spark.plan_pins import BOUNDED_GLOBAL_WINDOWS, KNOWN
+
+    unknown = [n for n in KNOWN if n not in REGISTRY]
+    unknown += [n for n in BOUNDED_GLOBAL_WINDOWS if n not in REGISTRY]
+    assert not unknown, f"allowlists name unregistered queries: {unknown}"
+
+
+def test_window_detector_sees_through_aqe_wrappers():
+    # The detector must catch Exchange SinglePartition under a Window even
+    # when AQE interposes stage wrappers between the Sort and the
+    # Exchange (the round-6 ADVICE false-negative), and must NOT flag a
+    # deeper SinglePartition that feeds something else (a scalar agg).
+    from job_datapipeline_spark.testing import single_partition_windows_in_plan
+
+    direct = (
+        "Window [sum(v) windowspecdefinition(k ASC)], [k ASC]\n"
+        "+- *(2) Sort [k ASC NULLS FIRST], false, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+        "      +- *(1) Project [k, v]\n"
+    )
+    assert len(single_partition_windows_in_plan(direct)) == 1
+
+    aqe_wrapped = (
+        "Window [sum(v) windowspecdefinition(k ASC)], [k ASC]\n"
+        "+- *(3) Sort [k ASC NULLS FIRST], false, 0\n"
+        "   +- AQEShuffleRead local\n"
+        "      +- ShuffleQueryStage 1\n"
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+    )
+    assert len(single_partition_windows_in_plan(aqe_wrapped)) == 1
+
+    reused = (
+        "Window [sum(v) windowspecdefinition(k ASC)], [k ASC]\n"
+        "+- *(3) Sort [k ASC NULLS FIRST], false, 0\n"
+        "   +- ReusedExchange [k, v], Exchange SinglePartition, [plan_id=2]\n"
+    )
+    assert len(single_partition_windows_in_plan(reused)) == 1
+
+    partitioned_window_with_deeper_scalar_agg = (
+        "Window [sum(v) windowspecdefinition(g, k ASC)], [g], [k ASC]\n"
+        "+- *(4) Sort [g ASC, k ASC], false, 0\n"
+        "   +- Exchange hashpartitioning(g, 32), ENSURE_REQUIREMENTS, [plan_id=7]\n"
+        "      +- *(3) Project [g, k, v]\n"
+        "         +- *(3) BroadcastHashJoin [t], [t2], Inner, BuildRight\n"
+        "            :- *(1) Project [g, k, v, t]\n"
+        "            +- BroadcastExchange IdentityBroadcastMode\n"
+        "               +- *(2) HashAggregate(keys=[], functions=[sum(x)])\n"
+        "                  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]\n"
+    )
+    assert single_partition_windows_in_plan(
+        partitioned_window_with_deeper_scalar_agg
+    ) == []

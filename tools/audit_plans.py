@@ -3,24 +3,28 @@ shapes that won't survive a 100x scale-up.
 
 Flags raised:
 - CartesianProduct           (unintentional cross join)
-- high exchange count        (> EXCHANGE_BUDGET shuffles; repeated-subtree
-                              plans rely on runtime ReusedExchange — listed
-                              so the reliance stays a decision, not an
-                              accident)
+- high exchange count        (> EXCHANGE_BUDGET shuffles; queries allowed
+                              past the budget carry a PINNED max count in
+                              job_datapipeline_spark/plan_pins.py — one
+                              exchange above the pin is an unexplained
+                              flag, so plan regressions fail loudly
+                              instead of hiding behind old prose)
 - row-at-a-time Python UDFs  (BatchEvalPython; Arrow stages are fine)
 - repeated fact scans        (the same parquet table scanned >= 3 times in
                               one plan: Spark does not CSE identical
                               subplans, so a frame consumed N times
                               recomputes N times unless localCheckpoint'd
-                              or caught by runtime ReusedExchange — the
-                              round-4 sweep found and fixed seven of these)
+                              or caught by runtime ReusedExchange)
 - single-partition windows   (WindowExec fed by Exchange SinglePartition:
                               an unpartitioned Window.orderBy moves EVERY
                               row to one task.  Allowed only over frames
                               bounded by a calendar/grid/domain — see
-                              BOUNDED_GLOBAL_WINDOWS; unbounded frames
-                              must use operators/ranks, the round-6
-                              rewrite that cleared ten of these)
+                              plan_pins.BOUNDED_GLOBAL_WINDOWS; unbounded
+                              frames must use operators/ranks)
+
+The allowlists live in job_datapipeline_spark/plan_pins.py and are ALSO
+asserted by tests/test_scale_shapes.py::test_pinned_exchange_counts_hold,
+so this report and the pytest gate can never drift apart.
 
 Filter pushdown and column pruning are asserted per-query in
 tests/test_scale_shapes.py — a text heuristic here can't tell a
@@ -28,7 +32,7 @@ non-pushable computed-column filter from a missed pushdown.
 
 Usage: python tools/audit_plans.py [sf_dir] [query ...]
 Exit code 0 always — this is a report, not a gate; the gate is the
-allowlist in tests/test_scale_shapes.py.
+pytest assertion over the same pins.
 """
 
 from __future__ import annotations
@@ -40,194 +44,16 @@ from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from job_datapipeline_spark.plan_pins import (  # noqa: E402
+    BOUNDED_GLOBAL_WINDOWS,
+    EXCHANGE_BUDGET,
+    KNOWN,
+)
 from job_datapipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from job_datapipeline_spark.session import get_spark  # noqa: E402
 from job_datapipeline_spark.testing import (  # noqa: E402
     single_partition_windows_in_plan,
 )
-
-EXCHANGE_BUDGET = 8
-
-# Queries whose plan retains a single-partition window BECAUSE the frame
-# under it is bounded — by a calendar, a value grid, or a domain that does
-# not grow with row count.  Anything NOT in this list that trips the
-# detector is an unexplained flag: either rewrite it with operators/ranks
-# (global_row_number / global_cumsum / exact_ntile / exact_rank_values /
-# ordered_neighbor_carry — the round-6 escalation that removed the seven
-# round-5 weak plans plus KS / Mann-Whitney / supplier_scorecard) or add
-# it here with the reason the frame is bounded.
-BOUNDED_GLOBAL_WINDOWS = {
-    "corpus_dsir_importance": "windows over the hash-bucket count frame "
-                              "(fixed _DSIR_BUCKETS cells, a constant)",
-    "corpus_mix_budget": "total-tokens window over the per-LANGUAGE "
-                         "availability dim (|configured languages| rows)",
-    "window_ratio_to_report": "ratio over the 25-nation rollup — the "
-                              "nation domain is a fixed dimension",
-    "agg_gini_concentration": "rank over the DISTINCT-SOURCE domain "
-                              "(domains, not documents)",
-    "events_new_user_growth": "running sum over the day calendar",
-    "orders_open_interval_sweep": "running open-count over the day calendar",
-    "events_error_rate_slo": "running error budget over the day calendar",
-    "agg_chi2_independence": "contingency margins over nation x priority "
-                             "cells (fixed dimensions)",
-    "orders_aging_buckets": "share-of-total over the fixed aging-bucket "
-                            "frame (4 rows)",
-    "orders_seasonal_anomaly": "median/MAD windows over the day-calendar "
-                               "residual frame",
-    "orders_littles_law": "running WIP sweep over the day calendar",
-}
-
-# Queries whose flagged shape is understood and documented where it arises.
-KNOWN = {
-    "events_active_users": "exact sliding DISTINCT cannot partial-aggregate: "
-                           "DAU + two countDistinct windows each pay their "
-                           "two-phase exchange, all on the bounded (day, user) "
-                           "checkpoint — never the event log; the sketch "
-                           "escalation is documented in the operator",
-    "join_bloom_prefilter": "the K semi joins broadcast the SAME kilobyte bit "
-                            "table (ReusedExchange at runtime: 8 reuses, 9 hash "
-                            "exchanges all on 1-row verdict frames); the fact "
-                            "table never shuffles before its count aggregates",
-    "orders_market_basket": "pairwise Apriori level: a bounded-frame self-join "
-                            "plus marginal re-aggregations of the checkpointed "
-                            "items frame — every exchange moves vocabulary- or "
-                            "basket-key-sized data, never the fact table",
-    "join_full_outer_nation_stats": "full outer join cannot broadcast; SMJ is correct",
-    "setops_segments": "three set operations = three distinct shuffles each",
-    "dedup_near_composed": "repeated candidate subtree collapses via ReusedExchange "
-                           "at runtime (see operators/dedup.py near_dedup docstring)",
-    "setops_intersect_except": "INTERSECT/EXCEPT each re-reference both inputs by "
-                               "definition; orders is a narrow 2-col scan",
-    "events_funnel": "one scan per funnel stage of a 3-stage pattern over a "
-                     "pre-filtered event type each — stage scans are disjoint slices",
-    "text_rake_keyphrases": "11 exchanges but every one is keyed by doc_id or "
-                            "(doc_id, x) — the plan is per-document data-"
-                            "parallel off one checkpointed token frame; the "
-                            "exchange COUNT is constant in corpus size and "
-                            "each moves doc-keyed data once",
-    "recsys_item_item_cf": "9 exchanges, all after the 1-in-10 sample + hot "
-                           "cap shrink the frame: dedup, cap filter, the "
-                           "customer-keyed pair self-join (both sides of the "
-                           "checkpointed frame), the (a,b) partial-combined "
-                           "count, and the per-part top-k window — the CF "
-                           "algorithm's irreducible stages, every one moving "
-                           "sampled candidate data (measured 0.36% of naive "
-                           "pair space, SCALE_GROWTH.md)",
-    "events_gapfill_hourly": "spine min/max + data side: the 1-row bounds scalar "
-                             "and the rollup legitimately read events separately",
-    "join_salted_hotkeys": "hot-key detection dim + both join branches read "
-                           "disjoint slices of events",
-    "quality_constraint_checks": "each Deequ-style constraint audits its own "
-                                 "column slice of the narrow orders scan",
-    "dedup_embedding_composed": "bucket sides + verify + anti-join over the tiny "
-                                "embeddings dim (500 rows); checkpoint would cost "
-                                "more than the rescans",
-    "embedding_kmeans_refine": "two Lloyd iterations re-read the 500-row dim per "
-                               "assignment step by design",
-    "ann_ivf_topk": "corpus + centroid + query sides of the tiny embeddings dim",
-    "corpus_curation": "funnel stages read disjoint corpus slices",
-    "corpus_mixture_sample": "counts dim + kept filter + plant branch over documents",
-    "corpus_temperature_sample": "counts dim + kept filter over documents",
-    "text_tfidf_top_terms": "tf/idf/corpus-size aggregates share the documents scan "
-                            "via ReusedExchange at runtime",
-    "text_unigram_logprob": "corpus LM + per-doc scoring read the token stream twice",
-    "text_bigram_logprob": "corpus LM + per-doc scoring read the token stream twice",
-    "corpus_decontaminate": "corpus/bench/plant branches are disjoint document slices",
-    "dedup_lsh_candidates": "planted-corpus branches (base/exact/near) are three "
-                            "disjoint scans feeding one checkpointed signature pass",
-    "dedup_cluster_representatives": "planted branches + quality dim",
-    "dedup_components": "planted branches feeding the checkpointed edge frame",
-    "tpch_large_orders": "Q18 shape: the HAVING keep-list aggregate and the "
-                         "output sum aggregate compute different things from "
-                         "lineitem by definition",
-    "agg_sketch_mergeable": "per-group sketches + global union + the exact "
-                            "verification sides each aggregate the narrow scan "
-                            "differently (exact side documented small-scale-only)",
-    "agg_quantile_sketch_mergeable": "KLL sketch sides + exact-median verification "
-                                     "sides (exact side documented small-scale-only)",
-    "graph_pagerank_bipartite": "two power iterations x (contrib agg + rank join) "
-                                "over checkpointed edge/degree frames — exchange "
-                                "count is 2/iteration by design",
-    "python_udtf_regex_spans": "UDTF capability demo; doc names posexplode over "
-                               "regexp_extract_all as the native hot-path twin",
-    "dedup_embedding_pairs": "brute-force verification BASELINE over the 500-row "
-                             "embeddings dim; the scale path is the bucketed "
-                             "composed form",
-    "dedup_incremental_batch": "exact-dup + LSH + verify + two output joins — "
-                               "stages shuffle on different keys; hist/batch "
-                               "frames are checkpointed so none recompute",
-    "text_bm25_search": "tf agg, df agg, dl agg, score agg, rank window — a "
-                        "5-stage linear pipeline over the checkpointed tf frame",
-    "tpch_market_share": "Q8: the widest TPC-H join graph (6 joins + final agg) "
-                         "legitimately exceeds the 8-exchange budget by one",
-    "ann_sq8_rerank": "5 of the 9 exchanges are kilobyte BroadcastExchanges "
-                      "(query codes, candidate ids, recall flags); the 4 hash "
-                      "shuffles are the designed minimum: code-dot aggregate, "
-                      "candidate top-k window, rerank top-k window, and the "
-                      "brute-force recall-verdict window (in-plan verification, "
-                      "small-scale-only — the agg_quantile_sketch_mergeable "
-                      "convention). Corpus float vectors are scanned twice: "
-                      "rerank (by design, candidates only) + the verify side.",
-    "corpus_pretrain_pipeline": "5-stage composition (classifier agg, chunking, "
-                                "chunk-dedup window, temperature-sample agg, "
-                                "report union) — each wide stage shuffles once "
-                                "over its checkpointed input; 10 exchanges IS "
-                                "the documented four-wide-stages + report shape",
-    # The operators/ranks two-pass primitives trade ONE catastrophic
-    # single-partition stage for a few extra parallel exchanges: each
-    # pass costs a range exchange of the (dimension-sized) frame, a pid
-    # re-cluster for the partitioned window, and P-row partials/offsets
-    # aggregates.  Exchange COUNT rises; every exchange moves dim- or
-    # P-sized data and the fact table still collapses in its one
-    # partial-agg exchange first.
-    "orders_rfm_segmentation": "three exact_ntile passes over the CUSTOMER dim "
-                               "(each: range exchange + pid re-cluster + P-row "
-                               "offset aggregates); the orders fact shuffles "
-                               "exactly once, into the per-customer rollup",
-    "orders_abc_classification": "one global_cumsum pass over the PART dim; "
-                                 "lineitem collapses in one partial-agg "
-                                 "exchange first",
-    "orders_abc_xyz_matrix": "monthly-demand and revenue rollups collapse the "
-                             "fact; the global_cumsum pass and the stats join "
-                             "all move part-dim or P-row data",
-    "agg_ks_test": "one global_cumsum pass (two running sums share it) over "
-                   "the distinct-cent-value frame; orders collapses in one "
-                   "FILTER-count partial agg first",
-    "causal_matched_cohort": "one ordered_neighbor_carry pass over the "
-                             "customer dim (range exchange + pid re-cluster + "
-                             "P-row edge/carry aggregates); orders collapses "
-                             "in one outcome partial agg first",
-    # Round-6 primitive consumers: the exchange COUNT is dominated by
-    # P-row/k-row plumbing (counts, offsets, broadcast totals, the
-    # triangular cumulative over <= 10 decile rows); the only exchanges
-    # that move data-scale rows are the initial rollup + the primitive's
-    # range/pid pair.
-    "orders_lorenz_curve": "one exact_ntile pass over the customer dim + "
-                           "10-row decile arithmetic; orders collapses in "
-                           "one partial-agg exchange first",
-    "corpus_length_deciles": "one exact_ntile pass over (doc_id, ntok) "
-                             "pairs; the corpus is scanned once",
-    "agg_exact_median_mad": "two pruned exact_rank_values passes (median, "
-                            "then MAD over the broadcast-derived deviation "
-                            "column); each pass is one range exchange + "
-                            "candidate-partition sorts + P-row plumbing",
-    "corpus_heaps_law": "type aggregate + new-type join + one exact_ntile "
-                        "pass + 10-row cumulative; types, not tokens, "
-                        "cross every post-explosion shuffle",
-    "ml_gains_table": "one exact_ntile pass over (score, pos) pairs + "
-                      "10-row decile arithmetic",
-    "customer_segment_migration": "two exact_ntile passes (one per history "
-                                  "half) over the customer dim + the "
-                                  "dim-keyed full-outer join; orders "
-                                  "collapse in two date-pruned partial "
-                                  "aggs first",
-    "agg_winsorized_mean": "ONE pruned exact_rank_values pass serves both "
-                           "percentile picks AND the total (total_col); "
-                           "orders collapses to the cent-value checkpoint "
-                           "once, and every other exchange moves P-row "
-                           "offset plumbing or the broadcast 1-row bounds "
-                           "before the map-side clamp scan",
-}
 
 
 def main() -> int:
@@ -244,38 +70,55 @@ def main() -> int:
             print(f"ERROR {name}: {e}")
             flagged += 1
             continue
-        issues = []
-        known_notes = []
+        pin, reason = KNOWN.get(name, (None, None))
+        unexplained = []
+        explained = []
+        notes = []
         spw = single_partition_windows_in_plan(plan)
         if spw:
             issue = f"{len(spw)} single-partition window(s) over unbounded frame"
             if name in BOUNDED_GLOBAL_WINDOWS:
-                known_notes.append(
-                    f"bounded frame: {BOUNDED_GLOBAL_WINDOWS[name]}"
-                )
+                notes.append(f"bounded frame: {BOUNDED_GLOBAL_WINDOWS[name]}")
             else:
-                issues.append(issue)
+                unexplained.append(issue)
         if "CartesianProduct" in plan:
-            issues.append("CartesianProduct")
+            (explained if reason else unexplained).append("CartesianProduct")
         if "BatchEvalPython" in plan:
-            issues.append("row-at-a-time Python UDF")
+            (explained if reason else unexplained).append(
+                "row-at-a-time Python UDF"
+            )
         n_ex = plan.count("Exchange")
         if n_ex > EXCHANGE_BUDGET:
-            issues.append(f"{n_ex} exchanges")
+            if pin is not None and n_ex <= pin:
+                explained.append(f"{n_ex} exchanges (pinned <= {pin})")
+                if n_ex < pin:
+                    notes.append(
+                        f"exchange count {n_ex} DROPPED below pin {pin} — "
+                        "refresh the pin in plan_pins.py"
+                    )
+            elif pin is not None:
+                unexplained.append(
+                    f"{n_ex} exchanges EXCEEDS pin {pin} — plan regression"
+                )
+            else:
+                unexplained.append(f"{n_ex} exchanges (no pin)")
         scans = Counter(re.findall(r"file:[^\]]*?/(\w+)\.parquet", plan))
         rescans = {t: n for t, n in scans.items() if n >= 3}
         if rescans:
-            issues.append(
+            (explained if reason else unexplained).append(
                 "repeated scans: "
                 + ", ".join(f"{t}x{n}" for t, n in sorted(rescans.items()))
             )
-        if issues:
-            note = f"  [known: {KNOWN[name]}]" if name in KNOWN else ""
-            print(f"FLAG {name}: {', '.join(issues)}{note}")
-            if name not in KNOWN:
-                flagged += 1
-        elif known_notes:
-            print(f"NOTE {name}: {'; '.join(known_notes)}")
+        if unexplained:
+            note = f"  [known: {reason}]" if reason else ""
+            print(f"FLAG {name}: {', '.join(unexplained + explained)}{note}")
+            flagged += 1
+        elif explained:
+            print(f"OKPIN {name}: {', '.join(explained)}  [{reason}]")
+            for n in notes:
+                print(f"NOTE {name}: {n}")
+        elif notes:
+            print(f"NOTE {name}: {'; '.join(notes)}")
     print(f"\n{flagged} unexplained flags over {len(only) or len(REGISTRY)} queries")
     return 0
 
