@@ -7748,5 +7748,7 @@ from . import llm_round6f  # noqa: E402,F401  (char entropy / supplier HHI / Fan
 from . import llm_round6g  # noqa: E402,F401  (segment migration / Hill tail index)
 from . import llm_round6h  # noqa: E402,F401  (winsorized mean)
 from . import llm_round7  # noqa: E402,F401  (HLL-sketch DAU/WAU/MAU escalation)
+from . import llm_round7b  # noqa: E402,F401  (retention triangle / CUPED / leakage-safe split / fuzzy blocking)
+from . import llm_round7c  # noqa: E402,F401  (Misra-Gries mergeable heavy hitters)
 
 _reorder_registry()
