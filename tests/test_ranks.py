@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 from job_datapipeline_spark.operators.ranks import (
     exact_ntile,
     exact_rank_values,
+    global_cummin,
     global_cumsum,
     global_row_number,
+    int_div,
     ordered_neighbor_carry,
 )
 
@@ -126,3 +128,47 @@ def test_empty_frame_is_safe(spark):
     assert global_row_number(empty, ["k"]).count() == 0
     assert global_cumsum(empty, ["k"], "v").count() == 0
     assert exact_ntile(empty, ["k"], 4).count() == 0
+
+
+def test_global_cummin_matches_window(frame):
+    for exclusive in (False, True):
+        w = Window.orderBy("key", "k").rowsBetween(
+            Window.unboundedPreceding, -1 if exclusive else 0
+        )
+        exp = frame.withColumn("m", F.min("v").over(w))
+        got = global_cummin(
+            frame, ["key", "k"], "v", out_col="m", exclusive=exclusive
+        )
+        g = sorted(got.select("k", "m").collect())
+        e = sorted(exp.select("k", "m").collect())
+        assert g == e
+        _no_global_window(got)
+    assert global_cummin(
+        frame.limit(0), ["k"], "v", exclusive=True
+    ).count() == 0
+
+
+def test_exact_rank_values_total_col(frame):
+    lo = lambda n: int_div(n + 1, 2)  # noqa: E731
+    picks = exact_rank_values(frame, ["v", "k"], [lo], total_col="n_total")
+    rows = picks.select("rn", "n_total").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_total"] == 997
+    assert rows[0]["rn"] == 499  # (997+1) div 2
+
+
+def test_int_div_exact_past_double_precision(spark):
+    # floor(a/b) via IEEE double mis-rounds above 2^53; int_div must not
+    big = 2**62 + 3
+    df = spark.range(1).select(F.lit(big).cast("long").alias("n"))
+    got = df.select(int_div(F.col("n") + 1, 2).alias("d")).collect()[0]["d"]
+    assert got == (big + 1) // 2
+    flo = df.select(
+        F.floor((F.col("n") + 1) / 2).cast("long").alias("d")
+    ).collect()[0]["d"]
+    assert flo != got  # the bug int_div exists to avoid
+
+
+def test_global_cumsum_rejects_mixed_col_kinds(frame):
+    with pytest.raises(TypeError):
+        global_cumsum(frame, ["key", "k"], ["v", "v"])  # out_col stays str
