@@ -7750,5 +7750,6 @@ from . import llm_round6h  # noqa: E402,F401  (winsorized mean)
 from . import llm_round7  # noqa: E402,F401  (HLL-sketch DAU/WAU/MAU escalation)
 from . import llm_round7b  # noqa: E402,F401  (retention triangle / CUPED / leakage-safe split / fuzzy blocking)
 from . import llm_round7c  # noqa: E402,F401  (Misra-Gries mergeable heavy hitters)
+from . import llm_round7d  # noqa: E402,F401  (Markov removal-effect attribution)
 
 _reorder_registry()
