@@ -1064,3 +1064,56 @@ def test_window_detector_sees_through_aqe_wrappers():
     assert single_partition_windows_in_plan(
         partitioned_window_with_deeper_scalar_agg
     ) == []
+
+
+# --- round-7 pins ------------------------------------------------------------
+
+def test_markov_attribution_single_event_scan_no_chain_shuffles(spark, sf_dir):
+    # one window pass over events builds the edges (swallowed by the
+    # eager pivot checkpoint, so the visible plan reads ExistingRDD); the
+    # five scenario chains are pure expression pipelines over the 1-row
+    # pivot — no joins anywhere, and the only exchange above the
+    # checkpoint is the 5-row output ordering.
+    plan = _plan(REGISTRY["events_markov_attribution"].fn(spark, sf_dir))
+    assert "events.parquet]" not in plan  # reads the pivot checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan
+
+
+def test_misra_gries_arrow_stage_single_tokenize(spark, sf_dir):
+    # the MG summaries must run as an Arrow mapInPandas stage (never a
+    # row-at-a-time BatchEvalPython), over ONE checkpointed tokenize pass
+    # shared with the exact verification side.
+    plan = _plan(REGISTRY["agg_misra_gries_topk"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "documents.parquet]" not in plan  # reads the token checkpoint
+    assert "TakeOrderedAndProject" in plan  # exact top-k never global-sorts
+
+
+def test_retention_triangle_broadcast_sizes(spark, sf_dir):
+    # cohort sizes and the first-week dim join broadcast; the event log
+    # is swallowed by the (user, week) DISTINCT checkpoint.
+    plan = _plan(REGISTRY["events_retention_triangle"].fn(spark, sf_dir))
+    assert "events.parquet]" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cuped_single_pass_one_row_fold(spark, sf_dir):
+    # one narrow scan, one user rollup exchange, one 1-row moment fold —
+    # no window, no join anywhere.
+    plan = _plan(REGISTRY["events_cuped_adjusted"].fn(spark, sf_dir))
+    assert plan.count("events.parquet]") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_fuzzy_matches_blocked_join_partitioned_window(spark, sf_dir):
+    # the pair join is equi-keyed on the block key (never a cartesian)
+    # and the argmin window is partitioned by it.
+    from job_datapipeline_spark.testing import single_partition_windows
+
+    df = REGISTRY["part_fuzzy_matches"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert single_partition_windows(df) == []
