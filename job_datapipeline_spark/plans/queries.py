@@ -7751,5 +7751,6 @@ from . import llm_round7  # noqa: E402,F401  (HLL-sketch DAU/WAU/MAU escalation)
 from . import llm_round7b  # noqa: E402,F401  (retention triangle / CUPED / leakage-safe split / fuzzy blocking)
 from . import llm_round7c  # noqa: E402,F401  (Misra-Gries mergeable heavy hitters)
 from . import llm_round7d  # noqa: E402,F401  (Markov removal-effect attribution)
+from . import llm_round7e  # noqa: E402,F401  (binned point-in-interval range join)
 
 _reorder_registry()
