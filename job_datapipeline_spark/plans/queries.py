@@ -7752,5 +7752,6 @@ from . import llm_round7b  # noqa: E402,F401  (retention triangle / CUPED / leak
 from . import llm_round7c  # noqa: E402,F401  (Misra-Gries mergeable heavy hitters)
 from . import llm_round7d  # noqa: E402,F401  (Markov removal-effect attribution)
 from . import llm_round7e  # noqa: E402,F401  (binned point-in-interval range join)
+from . import llm_round7f  # noqa: E402,F401  (video scene-cut detection)
 
 _reorder_registry()
