@@ -226,14 +226,21 @@ def exact_ntile(
     total = counts.groupBy().agg(
         F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_n")
     )
-    base = int_div(F.col("_n"), k)  # rows in a short bucket
-    rem = F.col("_n") % k  # number of long (base+1) buckets, first
-    in_long = F.col(rn) <= rem * (base + 1)
-    bucket = (
-        F.when(in_long, int_div(F.col(rn) - 1, base + 1) + 1).otherwise(
-            rem + int_div(F.col(rn) - rem * (base + 1) - 1, base) + 1
-        )
-    ).cast("int")
+    # The bucket arithmetic runs PER ROW over the full frame, so it uses
+    # Spark SQL's native integral `div` (exact on bigints, whole-stage
+    # codegen) rather than the decimal-backed int_div helper — the
+    # decimal casts measured a ~2x slowdown on the ntile consumers.
+    # base = rows in a short bucket, rem = number of long (base+1)
+    # buckets (first).  When n < k, base = 0 and every row takes the
+    # WHEN branch (rn <= rem), so the ELSE's div-by-zero is unreachable.
+    base = f"(_n div {k})"
+    rem = f"(_n % {k})"
+    bucket = F.expr(
+        f"CAST(CASE WHEN {rn} <= {rem} * ({base} + 1) "
+        f"THEN (({rn} - 1) div ({base} + 1)) + 1 "
+        f"ELSE {rem} + ((({rn} - {rem} * ({base} + 1)) - 1) div {base}) + 1 "
+        f"END AS INT)"
+    )
     return (
         numbered.crossJoin(F.broadcast(total))
         .withColumn(out_col, bucket)

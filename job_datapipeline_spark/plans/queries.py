@@ -7665,7 +7665,13 @@ _DRIVER_WINDOW_FIRST = (
 
 # The 19 never-certified entries deferred to the round-8 window (plus
 # every query round 7 adds).  r8's _DRIVER_WINDOW_FIRST must be exactly
-# this queue + the r7-new names; after that, full coverage.
+# this queue + the r7-new names — as of end of round 7 those are the 10
+# entries registered by plans/llm_round7*.py: events_active_users_sketch,
+# events_retention_triangle, events_cuped_adjusted,
+# corpus_split_leakage_safe, part_fuzzy_matches, agg_misra_gries_topk,
+# events_markov_attribution, join_range_binned_windows,
+# multimodal_video_scene_cuts (19 + 9 = 28 of 50 slots; after that
+# window, every registry entry is driver-certified at least once).
 _R8_QUEUE = (
     "quality_profile_columns",
     "join_size_estimate",
