@@ -149,6 +149,10 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "broadcast-derived deviation column), each carrying its total "
         "via total_col; each pass is one range exchange + candidate-"
         "partition sorts + P-row plumbing"),
+    "agg_median_ci_binomial": (11,
+        "one pruned exact_rank_values pass serves both CI-bound ranks "
+        "AND the total (total_col); orders collapses to the cent frame "
+        "once, every other exchange moves P-row offset plumbing"),
     "agg_winsorized_mean": (13,
         "ONE pruned exact_rank_values pass serves both percentile picks "
         "AND the total (total_col); orders collapses to the cent-value "

@@ -7665,13 +7665,14 @@ _DRIVER_WINDOW_FIRST = (
 
 # The 19 never-certified entries deferred to the round-8 window (plus
 # every query round 7 adds).  r8's _DRIVER_WINDOW_FIRST must be exactly
-# this queue + the r7-new names — as of end of round 7 those are the 10
+# this queue + the r7-new names — as of end of round 7 those are the 11
 # entries registered by plans/llm_round7*.py: events_active_users_sketch,
 # events_retention_triangle, events_cuped_adjusted,
 # corpus_split_leakage_safe, part_fuzzy_matches, agg_misra_gries_topk,
 # events_markov_attribution, join_range_binned_windows,
-# multimodal_video_scene_cuts (19 + 9 = 28 of 50 slots; after that
-# window, every registry entry is driver-certified at least once).
+# multimodal_video_scene_cuts, compliance_k_anonymity,
+# agg_median_ci_binomial (19 + 11 = 30 of 50 slots; after that window,
+# every registry entry is driver-certified at least once).
 _R8_QUEUE = (
     "quality_profile_columns",
     "join_size_estimate",
@@ -7759,5 +7760,6 @@ from . import llm_round7c  # noqa: E402,F401  (Misra-Gries mergeable heavy hitte
 from . import llm_round7d  # noqa: E402,F401  (Markov removal-effect attribution)
 from . import llm_round7e  # noqa: E402,F401  (binned point-in-interval range join)
 from . import llm_round7f  # noqa: E402,F401  (video scene-cut detection)
+from . import llm_round7g  # noqa: E402,F401  (k-anonymity audit / binomial median CI)
 
 _reorder_registry()
