@@ -7671,9 +7671,9 @@ _DRIVER_WINDOW_FIRST = (
 # corpus_split_leakage_safe, part_fuzzy_matches, agg_misra_gries_topk,
 # events_markov_attribution, join_range_binned_windows,
 # multimodal_video_scene_cuts, compliance_k_anonymity,
-# agg_median_ci_binomial, streaming_range_join_ingest (19 + 12 = 31 of
-# 50 slots; after that window, every registry entry is driver-certified
-# at least once).
+# agg_median_ci_binomial, streaming_range_join_ingest,
+# corpus_raking_weights (19 + 13 = 32 of 50 slots; after that window,
+# every registry entry is driver-certified at least once).
 _R8_QUEUE = (
     "quality_profile_columns",
     "join_size_estimate",
@@ -7763,5 +7763,6 @@ from . import llm_round7e  # noqa: E402,F401  (binned point-in-interval range jo
 from . import llm_round7f  # noqa: E402,F401  (video scene-cut detection)
 from . import llm_round7g  # noqa: E402,F401  (k-anonymity audit / binomial median CI)
 from . import llm_round7h  # noqa: E402,F401  (streaming stream-static binned range join)
+from . import llm_round7i  # noqa: E402,F401  (IPF raking corpus reweighting)
 
 _reorder_registry()
