@@ -133,13 +133,17 @@ def global_cumsum(
     value_col: str | Sequence[str],
     *,
     out_col: str | Sequence[str] = "cum",
+    rn_col: str | None = None,
 ) -> DataFrame:
     """``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
     (bigint values) as per-partition running sums plus a broadcast
     exclusive prefix-total per partition.  Accepts one value column or a
     list — multiple running sums share ONE range shuffle and one
     partitioned window (the KS statistic needs two over the same
-    order)."""
+    order).  ``rn_col`` additionally emits the global row number off the
+    SAME shuffle and window (callers that need both — e.g. to join each
+    row to its ordered successor — would otherwise pay a second range
+    pass)."""
     single = isinstance(value_col, str)
     if single != isinstance(out_col, str):
         # a list value_col with the default string out_col would otherwise
@@ -152,10 +156,12 @@ def global_cumsum(
     if len(value_cols) != len(out_cols):
         raise ValueError("value_col/out_col length mismatch")
     part = stamp_range_partitions(df, order_cols)
-    partials = part.groupBy(_PID).agg(
-        *[F.sum(c).cast("long").alias(c) for c in value_cols]
-    )
-    offsets = _prefix_offsets(partials, list(value_cols))
+    aggs = [F.sum(c).cast("long").alias(c) for c in value_cols]
+    if rn_col is not None:
+        aggs.append(F.count("*").alias("_rncnt"))
+    partials = part.groupBy(_PID).agg(*aggs)
+    off_cols = list(value_cols) + (["_rncnt"] if rn_col is not None else [])
+    offsets = _prefix_offsets(partials, off_cols)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*_cols(order_cols))
@@ -169,6 +175,12 @@ def global_cumsum(
             oc, F.sum(vc).over(w).cast("long") + F.col(off)
         )
         drops.append(off)
+    if rn_col is not None:
+        wr = Window.partitionBy(_PID).orderBy(*_cols(order_cols))
+        out = out.withColumn(
+            rn_col, F.row_number().over(wr) + F.col("_off__rncnt")
+        )
+        drops.append("_off__rncnt")
     return out.drop(*drops)
 
 

@@ -7672,8 +7672,9 @@ _DRIVER_WINDOW_FIRST = (
 # events_markov_attribution, join_range_binned_windows,
 # multimodal_video_scene_cuts, compliance_k_anonymity,
 # agg_median_ci_binomial, streaming_range_join_ingest,
-# corpus_raking_weights (19 + 13 = 32 of 50 slots; after that window,
-# every registry entry is driver-certified at least once).
+# corpus_raking_weights, agg_wasserstein_shift (19 + 14 = 33 of 50
+# slots; after that window, every registry entry is driver-certified at
+# least once).
 _R8_QUEUE = (
     "quality_profile_columns",
     "join_size_estimate",
@@ -7764,5 +7765,6 @@ from . import llm_round7f  # noqa: E402,F401  (video scene-cut detection)
 from . import llm_round7g  # noqa: E402,F401  (k-anonymity audit / binomial median CI)
 from . import llm_round7h  # noqa: E402,F401  (streaming stream-static binned range join)
 from . import llm_round7i  # noqa: E402,F401  (IPF raking corpus reweighting)
+from . import llm_round7j  # noqa: E402,F401  (exact 1-D Wasserstein shift)
 
 _reorder_registry()

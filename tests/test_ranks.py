@@ -172,3 +172,18 @@ def test_int_div_exact_past_double_precision(spark):
 def test_global_cumsum_rejects_mixed_col_kinds(frame):
     with pytest.raises(TypeError):
         global_cumsum(frame, ["key", "k"], ["v", "v"])  # out_col stays str
+
+
+def test_global_cumsum_rn_col_shares_pass(frame):
+    w = Window.orderBy("key", "k")
+    exp = frame.withColumn(
+        "cum", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    ).withColumn("rn", F.row_number().over(w))
+    got = global_cumsum(frame, ["key", "k"], "v", out_col="cum", rn_col="rn")
+    assert sorted(got.select("k", "cum", "rn").collect()) == sorted(
+        exp.select("k", "cum", "rn").collect()
+    )
+    _no_global_window(got)
+    # one range pass: exactly one range exchange in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") <= 1
