@@ -76,6 +76,19 @@ def main() -> None:
     # note), so every record carries the 1-min loadavg at start/end and a
     # loaded run warns loudly. It still runs (the external driver's record
     # must exist), but BENCH_BEST.json below is only updated by clean runs.
+    # Host-speed probe: this VM's effective single-core speed swings
+    # 2-3x with co-tenant load INVISIBLE to loadavg (measured 0.83 s vs
+    # 2.6 s for this fixed loop at load1 < 0.1 on the same day —
+    # SCALE_GROWTH.md round-7 note).  Recording it with every run lets
+    # cross-round totals be read in context: compare totals only between
+    # runs with similar probe times, else use per-query median ratios.
+    def _spin_probe() -> float:
+        t0 = time.time()
+        x = 0
+        for _ in range(20_000_000):
+            x += 1
+        return round(time.time() - t0, 3)
+
     load_start = round(os.getloadavg()[0], 2)
     # Act on the load signal, don't just record it (r5 lesson: the
     # driver's run started at load1 1.52 and the 317 s total was pure
@@ -105,6 +118,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    spin = _spin_probe()
+    if spin > 1.5:
+        print(
+            f"WARNING: spin probe {spin}s (fast-phase baseline ~0.85s) — "
+            "the VM is in a slow co-tenant phase; totals will be "
+            "inflated ~spin/0.85x with no loadavg signal.",
+            file=sys.stderr,
+        )
+
     spark = get_spark("bench")
 
     # warmup: spin up executors / codegen paths, untimed
@@ -129,6 +151,7 @@ def main() -> None:
         "sf": sf,
         "load1_start": load_start,
         "load1_end": load_end,
+        "spin_probe_sec": spin,
     }
 
     # Complete record, committed with the repo (the driver artifact only
