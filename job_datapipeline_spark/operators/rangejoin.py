@@ -1,6 +1,10 @@
-"""Binned point-in-interval (range) join — the equi-join rewrite of the
-inequality join Spark would otherwise execute as a BroadcastNestedLoopJoin
-(or worse, a CartesianProduct with a post-filter).
+"""Binned range joins — equi-join rewrites of the inequality joins Spark
+would otherwise execute as a BroadcastNestedLoopJoin (or worse, a
+CartesianProduct with a post-filter).  Two primitives:
+
+- :func:`bin_range_join` — point-in-interval (``lo <= t <= hi``),
+- :func:`interval_overlap_join` — interval-overlap
+  (``lo_a <= hi_b AND lo_b <= hi_a``), the session/exposure/FIFO shape.
 
 The device (the same one behind Databricks' range-join optimization and
 every IP-in-CIDR lookup at scale): pick a bin width W on the point axis,
@@ -33,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BIN = "_jdp_bin"
+_HIT = "_jdp_hit"
+_PID = "_jdp_pid"
 
 
 def bin_range_join(
@@ -53,7 +59,11 @@ def bin_range_join(
     same unit.  Column names must be disjoint between the two inputs
     apart from ``keys``.  ``how='inner'`` yields matching pairs;
     ``how='left_point'`` keeps unmatched points with null interval
-    columns (the enrichment shape)."""
+    columns (the enrichment shape).  Matches are detected via an
+    internal always-true flag on the interval side, so interval rows
+    whose own columns contain NULLs join correctly; fully-duplicate
+    point rows are kept (LEFT-join multiplicity) via an internal
+    per-row id."""
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive (got {bin_width})")
     if how not in ("inner", "left_point"):
@@ -75,26 +85,78 @@ def bin_range_join(
     if how == "inner":
         return pts.join(ivl, on).where(in_range).drop(_BIN)
     ivl_cols = [c for c in intervals.columns if c not in keys]
+    # match sentinel: an internal always-true flag on the interval side
+    # (NULL interval data columns must not mask a genuine match), plus a
+    # per-row point id so duplicate unmatched point rows keep LEFT-join
+    # multiplicity instead of collapsing in the group-by
+    pts = pts.withColumn(_PID, F.monotonically_increasing_id())
+    ivl = ivl.withColumn(_HIT, F.lit(True))
     joined = pts.join(ivl, on, "left").select(
+        F.col(_PID),
         *[F.col(c) for c in points.columns],
         *[
             F.when(in_range, F.col(c)).alias(c)
             for c in ivl_cols
         ],
-        F.col(_BIN),
+        F.when(in_range, F.col(_HIT)).alias(_HIT),
     )
     # a point may meet several bins' worth of non-matching intervals under
     # LEFT semantics; collapse back to one row per point per MATCHING
     # interval, or one all-null row when none matched
-    matched = joined.where(F.col(ivl_cols[0]).isNotNull()).drop(_BIN)
+    matched = joined.where(F.col(_HIT)).drop(_PID, _HIT)
     unmatched = (
-        joined.groupBy(*[F.col(c) for c in points.columns])
-        .agg(F.max(ivl_cols[0]).alias("_any"))
+        joined.groupBy(F.col(_PID), *[F.col(c) for c in points.columns])
+        .agg(F.max(_HIT).alias("_any"))
         .where(F.col("_any").isNull())
-        .drop("_any")
         .select(
             *[F.col(c) for c in points.columns],
             *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in ivl_cols],
         )
     )
     return matched.unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Join every pair of CLOSED intervals that overlap
+    (``left_lo <= right_hi AND right_lo <= left_hi``, plus equal
+    ``keys``) as a binned equi-join.  Both sides explode to the bins
+    they cover; an overlapping pair shares every bin between
+    ``max(lo)`` and ``min(hi)``, so the pair is CLAIMED exactly once in
+    the bin containing ``max(left_lo, right_lo)`` — that value lies
+    inside both intervals whenever they overlap, hence in both exploded
+    bin sets, and the claim filter makes the dedup free (no post-join
+    ``distinct``).  Bounds must be numeric (cast timestamps to epoch
+    units first) with ``lo <= hi`` on every row; column names must be
+    disjoint between the two inputs apart from ``keys``.
+
+    Cost mirrors :func:`bin_range_join`: ``sum(width / W + 1)`` join
+    rows PER SIDE — pick W near the typical interval width; split or
+    broadcast the rare giant interval.  Half-open ``[lo, hi)``
+    semantics: pass ``hi - 1`` for integer axes.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive (got {bin_width})")
+    bins = lambda lo, hi: F.explode(  # noqa: E731
+        F.sequence(
+            F.floor(F.col(lo) / bin_width), F.floor(F.col(hi) / bin_width)
+        )
+    )
+    a = left.withColumn(_BIN, bins(left_lo, left_hi))
+    b = right.withColumn(_BIN, bins(right_lo, right_hi))
+    overlap = (F.col(left_lo) <= F.col(right_hi)) & (
+        F.col(right_lo) <= F.col(left_hi)
+    )
+    claimed = F.col(_BIN) == F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / bin_width
+    )
+    return a.join(b, [*keys, _BIN]).where(overlap & claimed).drop(_BIN)

@@ -46,11 +46,15 @@ def _mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         for tok, c in pdf["tok"].value_counts().items():
             counters[tok] = counters.get(tok, 0) + int(c)
-        if len(counters) > _MG_K:
-            # (K+1)-th largest count; >= K+1 keys lose exactly d each, so
-            # each round removes >= (K+1)*d total mass
-            d = sorted(counters.values(), reverse=True)[_MG_K]
-            counters = {t: c - d for t, c in counters.items() if c - d > 0}
+            if len(counters) > _MG_K:
+                # prune inside the fold so peak size is K+1, independent
+                # of the Arrow batch's distinct count: all K+1 keys lose
+                # d = min count, removing >= (K+1)*d total mass, so every
+                # surviving estimate undercounts by at most n/(K+1)
+                d = min(counters.values())
+                counters = {
+                    t: v - d for t, v in counters.items() if v - d > 0
+                }
     yield pd.DataFrame(
         {"tok": list(counters.keys()), "est": list(counters.values())}
     )

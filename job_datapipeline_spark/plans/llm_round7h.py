@@ -134,7 +134,9 @@ def streaming_range_join_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    sink = spark.read.parquet(result)
+    # explicit schema: a zero-match run leaves no part files and
+    # schema inference would fail on the empty directory
+    sink = spark.read.schema("err_id long, p_id long").parquet(result)
     agg = sink.groupBy("err_id").agg(
         F.count("*").cast("bigint").alias("n"),
         F.min("p_id").cast("bigint").alias("mn"),

@@ -7665,7 +7665,7 @@ _DRIVER_WINDOW_FIRST = (
 
 # The 19 never-certified entries deferred to the round-8 window (plus
 # every query round 7 adds).  r8's _DRIVER_WINDOW_FIRST must be exactly
-# this queue + the r7-new names — as of end of round 7 those are the 11
+# this queue + the r7-new names — as of end of round 7 those are the 14
 # entries registered by plans/llm_round7*.py: events_active_users_sketch,
 # events_retention_triangle, events_cuped_adjusted,
 # corpus_split_leakage_safe, part_fuzzy_matches, agg_misra_gries_topk,
@@ -7766,5 +7766,7 @@ from . import llm_round7g  # noqa: E402,F401  (k-anonymity audit / binomial medi
 from . import llm_round7h  # noqa: E402,F401  (streaming stream-static binned range join)
 from . import llm_round7i  # noqa: E402,F401  (IPF raking corpus reweighting)
 from . import llm_round7j  # noqa: E402,F401  (exact 1-D Wasserstein shift)
+from . import llm_round8a  # noqa: E402,F401  (interval-overlap join family: overlaps / CIDR LPM / SCD2 PIT / FIFO)
+from . import llm_round8b  # noqa: E402,F401  (layout: partition stats / range boundaries / dynamic partition pruning)
 
 _reorder_registry()

@@ -80,6 +80,47 @@ def test_left_point_keeps_unmatched_points(spark, frames):
     assert len(unmatched) == len({r["p_id"] for r in unmatched})
 
 
+def test_left_point_null_interval_columns_still_match(spark):
+    # an interval row whose first non-key data column is NULL must still
+    # register as a match (sentinel is an internal flag, not data nullness)
+    pts = spark.createDataFrame([(1, 10), (2, 999)], "p_id long, t long")
+    ivl = spark.createDataFrame(
+        [(None, 0, 20)], "label string, lo long, hi long"
+    )
+    rows = bin_range_join(
+        pts,
+        ivl,
+        point_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=8,
+        how="left_point",
+    ).collect()
+    by_pid = {r["p_id"]: r for r in rows}
+    assert len(rows) == 2
+    assert by_pid[1]["lo"] == 0 and by_pid[1]["hi"] == 20  # matched
+    assert by_pid[2]["lo"] is None and by_pid[2]["hi"] is None  # unmatched
+
+
+def test_left_point_duplicate_unmatched_rows_kept(spark):
+    # fully-duplicate unmatched point rows keep LEFT-join multiplicity
+    pts = spark.createDataFrame(
+        [(7, 999), (7, 999), (7, 999)], "p_id long, t long"
+    )
+    ivl = spark.createDataFrame([(1, 0, 20)], "i_id long, lo long, hi long")
+    got = bin_range_join(
+        pts,
+        ivl,
+        point_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=8,
+        how="left_point",
+    )
+    assert got.count() == 3
+    assert all(r["i_id"] is None for r in got.collect())
+
+
 def test_plan_is_equi_join(spark, frames):
     pts, ivl = frames
     plan = (
@@ -115,4 +156,88 @@ def test_bad_args_raise(spark, frames):
             hi_col="hi",
             bin_width=10,
             how="full",
+        )
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+from job_datapipeline_spark.operators.rangejoin import interval_overlap_join  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    a = spark.createDataFrame(
+        [
+            (i, i % 2, (i * 53) % 400, (i * 53) % 400 + (i * 11) % 90)
+            for i in range(80)
+        ],
+        "a_id long, grp long, a_lo long, a_hi long",
+    ).localCheckpoint()
+    b = spark.createDataFrame(
+        [
+            (j, j % 2, (j * 71) % 380, (j * 71) % 380 + (j * 13) % 130)
+            for j in range(70)
+        ],
+        "b_id long, grp long, b_lo long, b_hi long",
+    ).localCheckpoint()
+    return a, b
+
+
+def _naive_overlap(a, b):
+    x, y = a.alias("x"), b.alias("y")
+    cond = (
+        (F.col("x.a_lo") <= F.col("y.b_hi"))
+        & (F.col("y.b_lo") <= F.col("x.a_hi"))
+        & (F.col("x.grp") == F.col("y.grp"))
+    )
+    return x.join(y, cond).select("x.a_id", "y.b_id")
+
+
+@pytest.mark.parametrize("width", [13, 64, 5000])
+def test_overlap_matches_naive_join(spark, interval_frames, width):
+    a, b = interval_frames
+    got = interval_overlap_join(
+        a,
+        b,
+        left_lo="a_lo",
+        left_hi="a_hi",
+        right_lo="b_lo",
+        right_hi="b_hi",
+        bin_width=width,
+        keys=["grp"],
+    ).select("a_id", "b_id")
+    assert sorted(got.collect()) == sorted(_naive_overlap(a, b).collect())
+    # claimed exactly once: no duplicate pairs at any bin width
+    assert got.count() == got.distinct().count()
+
+
+def test_overlap_plan_is_equi_join(spark, interval_frames):
+    a, b = interval_frames
+    plan = (
+        interval_overlap_join(
+            a,
+            b,
+            left_lo="a_lo",
+            left_hi="a_hi",
+            right_lo="b_lo",
+            right_hi="b_hi",
+            bin_width=64,
+            keys=["grp"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_bad_width_raises(spark, interval_frames):
+    a, b = interval_frames
+    with pytest.raises(ValueError):
+        interval_overlap_join(
+            a, b, left_lo="a_lo", left_hi="a_hi",
+            right_lo="b_lo", right_hi="b_hi", bin_width=-1,
         )

@@ -1117,3 +1117,20 @@ def test_fuzzy_matches_blocked_join_partitioned_window(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert single_partition_windows(df) == []
+
+
+def test_dpp_fires_on_partitioned_fact(spark, sf_dir):
+    # layout_dpp_prune: the quarter filter lives on the DIM side, so only
+    # a DynamicPruningExpression (runtime subquery on the fact's partition
+    # column) can cut the fact scan; assert Catalyst planted one.
+    plan = _plan(REGISTRY["layout_dpp_prune"].fn(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_range_boundaries_no_global_sort(spark, sf_dir):
+    # layout_range_boundaries must pick exact ranks via the pruned
+    # rank-pick device, never a global sort / single-partition window.
+    from job_datapipeline_spark.testing import single_partition_windows
+
+    df = REGISTRY["layout_range_boundaries"].fn(spark, sf_dir)
+    assert single_partition_windows(df) == []
