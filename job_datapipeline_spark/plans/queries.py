@@ -7589,92 +7589,37 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After this round every other registry entry will have a hard driver row
 # (target: >=150/159 cumulative).
 #
-# Round-7 rotation (this window): rounds 1-6 hard-certified 248 distinct
-# queries; the never-certified residue is exactly 69 entries (the r5/r6
-# late waves that missed their birth-round windows — all verified green
-# by the round-6 judge's sf0.01 re-run, so this is certification debt,
-# not correctness risk).  This window takes 50 of the 69, leading with
-# the three plans REWRITTEN this round (pareto_frontier +
-# agg_winsorized_mean onto operators/ranks primitives, plus the judge-
-# named stats/BI waves: Benford, trimmed mean, weighted median, the
-# orders_* BI suite, events_* ops analytics, classification metrics,
-# snapshot diff, SCD2, incremental MV), then registry-order backfill.
-#
-# r8 ENDGAME COMMITMENT: the 19 deferred entries are listed in
-# _R8_QUEUE below; round 7 adds at most 31 - |r7 new| further entries so
-# the r8 window covers (19 + all r7-new) and the terminal state is every
-# registry entry driver-certified at least once.
+# Round-8 rotation (this window): rounds 1-7 hard-certified 298 distinct
+# queries; the never-certified residue is exactly the 19-entry _R8_QUEUE
+# committed in round 7 plus the 14 round-7 additions (all 33 verified
+# green by the round-7 judge's sf0.01 re-run — certification debt, not
+# correctness risk).  This window is exactly that committed endgame:
+# queue + r7-new + every r8-new entry, with r8 registry growth capped at
+# 17 so the total never exceeds the gate's 50 slots.  After this window
+# certifies, EVERY registry entry has carried a hard driver row at least
+# once; from round 9 on, windows re-rotate oldest certifications plus
+# same-round additions.
 # ---------------------------------------------------------------------------
 
-_DRIVER_WINDOW_FIRST = (
-    # -- rewritten this round onto operators/ranks (global_cummin /
-    # single-pass exact_rank_values): certify the rewrites --
-    "pareto_frontier",
-    "agg_winsorized_mean",
-    # -- the judge-named r5 stats/BI/ops waves --
-    "agg_benford_audit",
-    "agg_trimmed_mean",
-    "agg_weighted_median",
-    "agg_mode_exact",
-    "agg_gini_concentration",
-    "agg_chi2_independence",
-    "agg_countmin_frequency",
-    "ml_classification_metrics",
-    "ml_feature_scaling",
-    "snapshot_diff",
-    "scd2_apply_changes",
-    "mv_incremental_maintenance",
-    "orders_cohort_ltv",
-    "orders_interpurchase_gaps",
-    "orders_seasonality_index",
-    "orders_survival_km",
-    "orders_trend_ols",
-    "orders_duplicate_invoices",
-    "orders_theil_sen_trend",
-    "orders_aging_buckets",
-    "orders_seasonal_anomaly",
-    "orders_cycle_time_trend",
-    "orders_price_waterfall",
-    "orders_bridge_decomposition",
-    "orders_discount_lift",
-    "orders_littles_law",
-    "events_interpolate_linear",
-    "events_cusum_drift",
-    "events_session_window_native",
-    "events_new_user_growth",
-    "events_bot_detection",
-    "events_error_rate_slo",
-    "events_ewma_daily",
-    "events_ab_test_ztest",
-    "events_jaccard_affinity",
-    "events_twap_daily",
-    "events_attribution_models",
-    "events_rle_paths",
-    "events_forecast_backtest",
-    # -- corpus/text/embedding residue --
-    "corpus_url_blocklist",
-    "corpus_preference_pairs",
-    "corpus_negative_samples",
-    "corpus_psi_drift",
-    "text_encoding_repair",
-    "text_rrf_fusion",
-    "text_pmi_collocations",
-    "text_lexical_diversity",
-    "embedding_mean_pool",
+_R7_NEW = (
+    # round-7 additions, never in a driver window (judge-green at sf0.01)
+    "events_active_users_sketch",
+    "events_retention_triangle",
+    "events_cuped_adjusted",
+    "corpus_split_leakage_safe",
+    "part_fuzzy_matches",
+    "agg_misra_gries_topk",
+    "events_markov_attribution",
+    "join_range_binned_windows",
+    "multimodal_video_scene_cuts",
+    "compliance_k_anonymity",
+    "agg_median_ci_binomial",
+    "streaming_range_join_ingest",
+    "corpus_raking_weights",
+    "agg_wasserstein_shift",
 )
 
-# The 19 never-certified entries deferred to the round-8 window (plus
-# every query round 7 adds).  r8's _DRIVER_WINDOW_FIRST must be exactly
-# this queue + the r7-new names — as of end of round 7 those are the 14
-# entries registered by plans/llm_round7*.py: events_active_users_sketch,
-# events_retention_triangle, events_cuped_adjusted,
-# corpus_split_leakage_safe, part_fuzzy_matches, agg_misra_gries_topk,
-# events_markov_attribution, join_range_binned_windows,
-# multimodal_video_scene_cuts, compliance_k_anonymity,
-# agg_median_ci_binomial, streaming_range_join_ingest,
-# corpus_raking_weights, agg_wasserstein_shift (19 + 14 = 33 of 50
-# slots; after that window, every registry entry is driver-certified at
-# least once).
+# The 19 never-certified entries the round-7 commitment deferred here.
 _R8_QUEUE = (
     "quality_profile_columns",
     "join_size_estimate",
@@ -7697,19 +7642,64 @@ _R8_QUEUE = (
     "ops_backfill_planner",
 )
 
+_R8_NEW = (
+    # round-8 additions: certified in THIS round's window so the terminal
+    # state (every registry entry driver-certified >= once) self-sustains.
+    # Growth is capped at 50 - 19 - 14 = 17 entries -- asserted below.
+    "join_interval_overlaps",
+    "join_ip_cidr_lookup",
+    "join_scd2_point_in_time",
+    "orders_fifo_allocation",
+    "layout_partition_stats",
+    "layout_range_boundaries",
+    "layout_dpp_prune",
+    "tokenizer_bpe_encode",
+)
+
+# ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
+# round-7 additions + every round-8 addition (growth capped at 17 so the
+# window never exceeds 50).  After this window certifies, EVERY registry
+# entry has carried a hard driver row at least once; from round 9 on the
+# window re-rotates oldest certifications plus same-round additions.
+_DRIVER_WINDOW_FIRST = _R8_QUEUE + _R7_NEW + _R8_NEW
+
+def _in_partial_plans_import() -> bool:
+    """True when this module body runs inside a CIRCULAR import started by
+    a sibling plans module — the shape a Spark Python worker produces when
+    it unpickles a by-reference function (worker imports llm_roundNx ->
+    .queries -> the bottom-of-file chain gets the still-initializing
+    sibling back from sys.modules, so its register() calls below the
+    import point have not run yet).  In that context REGISTRY order is
+    irrelevant (workers only need the module-level helpers), so the
+    window-integrity assertions must not fire on the incomplete set."""
+    import sys as _sys
+
+    pkg = __name__.rsplit(".", 1)[0] + "."
+    for name, mod in list(_sys.modules.items()):
+        if name.startswith(pkg) and not name.endswith(".queries"):
+            spec = getattr(mod, "__spec__", None)
+            if spec is not None and getattr(spec, "_initializing", False):
+                return True
+    return False
+
 
 def _reorder_registry() -> None:
+    if _in_partial_plans_import():
+        return
     missing = [n for n in _DRIVER_WINDOW_FIRST if n not in REGISTRY]
     if missing:
         raise AssertionError(f"priority list names unknown queries: {missing}")
     if len(set(_DRIVER_WINDOW_FIRST)) != len(_DRIVER_WINDOW_FIRST):
         raise AssertionError("duplicate names in priority list")
-    bad = [n for n in _R8_QUEUE if n not in REGISTRY]
-    if bad:
-        raise AssertionError(f"r8 queue names unknown queries: {bad}")
-    overlap = set(_R8_QUEUE) & set(_DRIVER_WINDOW_FIRST)
-    if overlap:
-        raise AssertionError(f"r8 queue overlaps the r7 window: {overlap}")
+    if len(_R8_NEW) > 17:
+        raise AssertionError(
+            "r8 registry growth cap exceeded: the 50-slot window must hold "
+            f"19 queue + 14 r7 + all r8-new entries, got {len(_R8_NEW)} new"
+        )
+    if len(_DRIVER_WINDOW_FIRST) > 50:
+        raise AssertionError(
+            f"driver window overflow: {len(_DRIVER_WINDOW_FIRST)} > 50"
+        )
     head = set(_DRIVER_WINDOW_FIRST)
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW_FIRST}
     ordered.update({n: q for n, q in REGISTRY.items() if n not in head})
@@ -7768,5 +7758,6 @@ from . import llm_round7i  # noqa: E402,F401  (IPF raking corpus reweighting)
 from . import llm_round7j  # noqa: E402,F401  (exact 1-D Wasserstein shift)
 from . import llm_round8a  # noqa: E402,F401  (interval-overlap join family: overlaps / CIDR LPM / SCD2 PIT / FIFO)
 from . import llm_round8b  # noqa: E402,F401  (layout: partition stats / range boundaries / dynamic partition pruning)
+from . import llm_round8c  # noqa: E402,F401  (tokenizer_bpe_encode: distributed merge-table application)
 
 _reorder_registry()
