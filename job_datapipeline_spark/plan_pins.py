@@ -136,11 +136,13 @@ KNOWN: dict[str, tuple[int | None, str]] = {
     "causal_matched_cohort": (10,
         "one ordered_neighbor_carry pass over the customer dim; orders "
         "collapses in one outcome partial agg first"),
-    "orders_lorenz_curve": (31,
-        "one exact_ntile pass over the customer dim + 10-row decile "
-        "arithmetic (every exchange past the orders rollup moves "
-        "customer-dim or P-/10-row frames); orders collapses in one "
-        "partial-agg exchange first"),
+    "orders_lorenz_curve": (5,
+        "the 10-row decile frame is MATERIALIZED (localCheckpoint) "
+        "before the triangular cumulative and the total — previously "
+        "each of its three consumers replayed the post-checkpoint "
+        "ntile subtree (31 plan exchanges); the exact_ntile pass over "
+        "the customer dim now runs exactly once, and the audited plan "
+        "holds only the 10-row arithmetic"),
     "corpus_length_deciles": (10,
         "one exact_ntile pass over (doc_id, ntok) pairs; the corpus is "
         "scanned once"),
@@ -163,9 +165,11 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "type aggregate + new-type join + one exact_ntile pass + 10-row "
         "cumulative; types, not tokens, cross every post-explosion "
         "shuffle"),
-    "ml_gains_table": (31,
-        "one exact_ntile pass over (score, pos) pairs + 10-row decile "
-        "arithmetic — same plumbing profile as orders_lorenz_curve"),
+    "ml_gains_table": (5,
+        "10-row decile frame materialized before the triangular "
+        "cumulative and totals — same replay fix (31 -> 5) as "
+        "orders_lorenz_curve; the ntile pass over (score, pos) pairs "
+        "runs exactly once at checkpoint time"),
     "customer_segment_migration": (20,
         "two exact_ntile passes (one per history half) over the customer "
         "dim + the dim-keyed full-outer join; orders collapse in two "

@@ -204,9 +204,17 @@ def ml_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = exact_ntile(
         scored, [F.col("score").desc(), "doc_id"], 10, out_col="decile"
     )
-    g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("pos").cast("bigint").alias("n_pos"),
+    # materialized: the 10-row decile frame feeds the triangular
+    # cumulative (both sides) AND the totals — unmaterialized, each
+    # consumer replays the post-checkpoint ntile subtree (the
+    # orders_lorenz_curve lesson; see plan_pins ledger)
+    g = (
+        d.groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+        .localCheckpoint()
     )
     t = g.agg(
         F.sum("n").cast("bigint").alias("n_all"),
