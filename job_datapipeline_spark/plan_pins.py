@@ -125,10 +125,11 @@ KNOWN: dict[str, tuple[int | None, str]] = {
     "orders_abc_classification": (9,
         "one global_cumsum pass over the PART dim; lineitem collapses in "
         "one partial-agg exchange first"),
-    "orders_abc_xyz_matrix": (18,
-        "monthly-demand and revenue rollups collapse the fact; the "
-        "global_cumsum pass and the stats join all move part-dim or "
-        "P-row data"),
+    "orders_abc_xyz_matrix": (8,
+        "the part-dim cumsum frame is MATERIALIZED before the total "
+        "and the stats join (each replayed the cumsum window subtree "
+        "unmaterialized: 18 -> 8); monthly-demand and revenue rollups "
+        "collapse the fact first"),
     "agg_ks_test": (10,
         "one global_cumsum pass (two running sums share it) over the "
         "distinct-cent-value frame; orders collapses in one FILTER-count "
@@ -161,10 +162,11 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "checkpoint once, and every other exchange moves P-row offset "
         "plumbing or the broadcast 1-row bounds before the map-side "
         "clamp scan"),
-    "corpus_heaps_law": (20,
-        "type aggregate + new-type join + one exact_ntile pass + 10-row "
-        "cumulative; types, not tokens, cross every post-explosion "
-        "shuffle"),
+    "corpus_heaps_law": (3,
+        "the 10-row decile frame is MATERIALIZED before the triangular "
+        "cumulative (both sides replayed the ntile subtree "
+        "unmaterialized: 20 -> 3); type aggregate + new-type join + one "
+        "exact_ntile pass all run once at checkpoint time"),
     "ml_gains_table": (5,
         "10-row decile frame materialized before the triangular "
         "cumulative and totals — same replay fix (31 -> 5) as "

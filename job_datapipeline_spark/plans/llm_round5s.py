@@ -284,7 +284,7 @@ def orders_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = global_cumsum(
         revenue, [F.col("cents").desc(), "pk"], "cents", out_col="cum"
-    )
+    ).localCheckpoint()  # part-dim frame, read by the total AND the join
     # total = the last running sum; aggregating the checkpoint-backed
     # cumsum frame avoids a second scan of the lineitem rollup
     tot = ranked.agg(F.max("cum").cast("bigint").alias("tot"))

@@ -391,10 +391,16 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = exact_ntile(docs, ["doc_id"], 10, out_col="decile")
-    g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("ntok").cast("bigint").alias("d_tokens"),
-        F.sum("n_new").cast("bigint").alias("d_types"),
+    # materialized: both sides of the triangular cumulative read this
+    # 10-row frame (the orders_lorenz_curve replay fix)
+    g = (
+        d.groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("d_tokens"),
+            F.sum("n_new").cast("bigint").alias("d_types"),
+        )
+        .localCheckpoint()
     )
     cum = _cum_small(g, "decile", ["d_tokens", "d_types"])
     return cum.select(
