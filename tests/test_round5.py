@@ -225,9 +225,11 @@ def test_state_roundtrip_appends_batch_to_state(spark):
     result = REGISTRY["dedup_state_roundtrip"].fn(spark, SF_SMOKE)
     n_pairs = result.count()  # forces the plan, including both writes
     assert n_pairs > 0
+    # the query runs in THIS process, so its scratch root carries our pid
+    # (the round-7 per-pid scratch isolation; test_round7.py's convention)
     state_path = os.path.join(
         tempfile.gettempdir(),
-        f"jdp_scratch_{getpass.getuser()}",
+        f"jdp_scratch_{getpass.getuser()}_{os.getpid()}",
         "dedup_state_roundtrip",
         "band_state",
     )
