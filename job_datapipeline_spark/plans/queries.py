@@ -7654,6 +7654,7 @@ _R8_NEW = (
     "layout_range_boundaries",
     "layout_dpp_prune",
     "tokenizer_bpe_encode",
+    "graph_label_propagation",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
@@ -7759,5 +7760,6 @@ from . import llm_round7j  # noqa: E402,F401  (exact 1-D Wasserstein shift)
 from . import llm_round8a  # noqa: E402,F401  (interval-overlap join family: overlaps / CIDR LPM / SCD2 PIT / FIFO)
 from . import llm_round8b  # noqa: E402,F401  (layout: partition stats / range boundaries / dynamic partition pruning)
 from . import llm_round8c  # noqa: E402,F401  (tokenizer_bpe_encode: distributed merge-table application)
+from . import llm_round8d  # noqa: E402,F401  (graph_label_propagation: pinned synchronous LPA communities)
 
 _reorder_registry()

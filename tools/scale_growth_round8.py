@@ -1,0 +1,180 @@
+"""Scale-growth measurements for the two round-7 join primitives the
+round-7 verdict asked to see measured (its item 3):
+
+1. operators/rangejoin.bin_range_join — the bin-width trade.  The
+   documented cost model (rangejoin.py module docstring) says join-input
+   rows are ``|points| + sum(interval_width / W + 1)``: W far below the
+   typical interval width explodes intervals into many bin rows, W far
+   above piles unrelated points into shared bins for the residual filter
+   to discard.  This sweeps W across four orders of magnitude around the
+   typical width at 1x / 10x rows — the wall clock should be U-shaped
+   with its minimum near the typical width, and the 10x run should grow
+   ~linearly at the optimum.
+
+2. part_fuzzy_matches-style blocked fuzzy matching — the
+   sum-of-block-squares claim (plans/llm_round7b.py).  Candidate pairs
+   are sum over blocks of s*(s-1)/2.  Growing the corpus 10x by adding
+   BLOCKS (block size fixed — the blocking-key-refinement discipline the
+   query's doc prescribes) must grow pairs ~10x; growing it 10x by
+   growing BLOCK SIZE (fixed key — what happens when the key is NOT
+   refined) must grow pairs ~100x.  Both modes are measured; the table
+   is the argument for refining the key as data grows.
+
+Usage: python tools/scale_growth_round8.py
+Prints one JSON line per datapoint with wall seconds (min of 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from job_datapipeline_spark.operators.rangejoin import bin_range_join  # noqa: E402
+from job_datapipeline_spark.session import get_spark  # noqa: E402
+
+N_POINTS = 1_000_000
+N_INTERVALS = 100_000
+TYP_W = 1_000  # typical interval width on the point axis
+SPAN = 100_000_000
+
+
+def build_points(spark, n: int):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("p_id"),
+            ((F.col("id") * 2654435761) % SPAN).alias("t"),
+        )
+        .localCheckpoint()
+    )
+
+
+def build_intervals(spark, m: int):
+    # widths 500..1500 deterministic around TYP_W
+    # two modular steps keep every intermediate below 2^63 (ANSI mode)
+    lo = (((F.col("id") * 40503) % SPAN) * 26544353) % SPAN
+    width = (F.col("id") * 7) % TYP_W + TYP_W // 2
+    return (
+        spark.range(m)
+        .select(
+            F.col("id").alias("i_id"),
+            lo.alias("lo"),
+            (lo + width).alias("hi"),
+        )
+        .localCheckpoint()
+    )
+
+
+def run_range(points, intervals, bin_w: int) -> None:
+    out = bin_range_join(
+        points, intervals, point_col="t", lo_col="lo", hi_col="hi",
+        bin_width=bin_w,
+    )
+    out.write.format("noop").mode("overwrite").save()
+
+
+def build_entities(spark, n_blocks: int, block_size: int):
+    n = n_blocks * block_size
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("key"),
+            (F.col("id") % n_blocks).alias("blk"),
+            F.concat(
+                F.lit("widget model "),
+                ((F.col("id") * 2654435761) % 97).cast("string"),
+                F.lit(" rev "),
+                ((F.col("id") * 7919) % 53).cast("string"),
+            ).alias("name"),
+        )
+        .localCheckpoint()
+    )
+
+
+def run_fuzzy(df) -> int:
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.key") < F.col("b.key")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.col("a.key").alias("key_a"),
+        F.col("b.key").alias("key_b"),
+        F.levenshtein(F.col("a.name"), F.col("b.name")).cast("bigint").alias("dist"),
+    )
+    w = Window.partitionBy("blk").orderBy("dist", "key_a", "key_b")
+    wc = Window.partitionBy("blk")
+    out = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .agg(F.sum("n_pairs").cast("bigint").alias("total_pairs"))
+    )
+    return out.collect()[0][0] or 0
+
+
+def timed(fn, *args) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        fn(*args)
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark()
+    # at 10x, AQE's size estimate tempts it to broadcast the 10M-row
+    # point side and the driver-side build dies; both joined sides here
+    # grow with the data, so the shuffled join is the honest 100 TB
+    # shape — disable broadcast conversion outright for the sweep
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    # -- experiment 1: bin-width sweep ------------------------------------
+    for scale in (1, 10):
+        pts = build_points(spark, N_POINTS * scale)
+        ivl = build_intervals(spark, N_INTERVALS * scale)
+        # exploded interval bin rows for the cost model column
+        for bin_w in (10, 100, 1_000, 10_000, 100_000):
+            bins = ivl.select(
+                F.sum(
+                    F.floor(F.col("hi") / bin_w) - F.floor(F.col("lo") / bin_w) + 1
+                ).alias("b")
+            ).collect()[0][0]
+            sec = timed(run_range, pts, ivl, bin_w)
+            print(json.dumps({
+                "exp": "bin_range_join", "scale": scale, "bin_width": bin_w,
+                "interval_bin_rows": int(bins), "sec": round(sec, 2),
+            }), flush=True)
+        pts.unpersist()
+        ivl.unpersist()
+
+    # -- experiment 2: blocked fuzzy matching -----------------------------
+    base_blocks, base_size = 2_000, 20
+    for label, n_blocks, block_size in (
+        ("1x", base_blocks, base_size),
+        ("10x_more_blocks", base_blocks * 10, base_size),
+        ("10x_bigger_blocks", base_blocks, base_size * 10),
+    ):
+        ents = build_entities(spark, n_blocks, block_size)
+        n_pairs = run_fuzzy(ents)
+        sec = timed(run_fuzzy, ents)
+        print(json.dumps({
+            "exp": "blocked_fuzzy", "mode": label,
+            "rows": n_blocks * block_size, "pairs": int(n_pairs),
+            "sec": round(sec, 2),
+        }), flush=True)
+        ents.unpersist()
+
+
+if __name__ == "__main__":
+    main()
