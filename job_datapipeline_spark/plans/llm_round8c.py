@@ -223,3 +223,155 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("occ"), F.asc("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language fertility audit
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    sep = "chr(31)"
+    parts = [f"""
+    WITH words AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                AS word
+            FROM documents) t
+        WHERE word <> ''
+        GROUP BY 1, 2
+    ),
+    w0 AS (
+        SELECT lang, regexp_replace(word, '(.)', '\\1' || {sep}, 'g') AS s, c
+        FROM words
+    )"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+    , p{r} AS (
+        SELECT pr[1] AS a, pr[2] AS b, c
+        FROM (
+            SELECT unnest(CASE WHEN len(l) >= 3
+                               THEN [[l[i], l[i+1]]
+                                     FOR i IN range(1, len(l) - 1)]
+                               ELSE [] END) AS pr, c
+            FROM (SELECT string_split(s, {sep}) AS l, c FROM w{r - 1}) x) u
+    ),
+    t{r} AS (
+        SELECT a, b FROM (
+            SELECT a, b, CAST(sum(c) AS BIGINT) AS freq
+            FROM p{r} GROUP BY 1, 2
+            ORDER BY freq DESC, a, b LIMIT 1)
+    ),
+    w{r} AS (
+        SELECT w.lang,
+               replace(w.s, t.a || {sep} || t.b || {sep},
+                       t.a || t.b || {sep}) AS s, w.c
+        FROM w{r - 1} w CROSS JOIN t{r} t
+    )""")
+    parts.append(f"""
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum((len(s) - len(replace(s, {sep}, ''))) * c) AS BIGINT)
+               AS n_tokens,
+           (CAST(sum((len(s) - len(replace(s, {sep}, ''))) * c) AS BIGINT)
+                * 1000) // CAST(sum(c) AS BIGINT)
+               AS fertility_milli
+    FROM w{_BPE_ROUNDS}
+    GROUP BY lang
+    ORDER BY lang""")
+    return "\n".join(parts)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=_fertility_oracle(),
+    doc=f"Per-language tokenizer fertility under the SAME {_BPE_ROUNDS} "
+        "learned merges as tokenizer_bpe_learn/encode — the XLM-R-style "
+        "fairness audit (companion to tokenizer_vocab_coverage's OOV "
+        "side): a language whose fertility stays far above the others "
+        "is the one the merge table underserves, the number that drives "
+        "per-language vocab-budget decisions. The corpus collapses ONCE "
+        "to (lang, word-type) rows; each round's pair counts aggregate "
+        "over ALL rows (per-language duplicates of a word sum to the "
+        "same global pair totals, so the merge picks are IDENTICAL to "
+        "the global learn trajectory — same ties, same pins), and the "
+        "merge applies as the delimiter-embedded literal replace. "
+        "Token counts come from symbol counts (separators per cell), "
+        "zero UDFs, exact integers; fertility is positive-int floor "
+        "div per-mille. The 100 TB shape: the only corpus-scale stage "
+        "is the (lang, word) collapse; rounds move type frames.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sep = _BPE_SEP
+    cur = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            "lang",
+            F.regexp_replace("word", "(.)", "$1" + sep).alias("s"),
+            "c",
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_BPE_ROUNDS):
+        l = F.split(F.col("s"), sep)
+        pairs = cur.select(
+            F.explode(
+                F.when(
+                    F.size(l) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(l) - 2),
+                        lambda i: F.struct(
+                            F.element_at(l, i).alias("a"),
+                            F.element_at(l, i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("pr"),
+            "c",
+        )
+        top = (
+            pairs.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("c").cast("bigint").alias("freq"))
+            .orderBy(F.col("freq").desc(), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                "lang",
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.col("a"), F.lit(sep), F.col("b"), F.lit(sep)),
+                    F.concat(F.col("a"), F.col("b"), F.lit(sep)),
+                ).alias("s"),
+                "c",
+            )
+            .localCheckpoint()
+        )
+    ntok = F.length("s") - F.length(F.replace(F.col("s"), F.lit(sep), F.lit("")))
+    return (
+        cur.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.sum(ntok * F.col("c")).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000) div n_words").alias("fertility_milli"),
+        )
+        .orderBy("lang")
+    )

@@ -7655,6 +7655,7 @@ _R8_NEW = (
     "layout_dpp_prune",
     "tokenizer_bpe_encode",
     "graph_label_propagation",
+    "tokenizer_fertility_by_lang",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
