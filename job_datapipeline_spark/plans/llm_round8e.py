@@ -1,0 +1,91 @@
+"""Round-8 fifth batch: the dedup-threshold ablation curve.
+
+Choosing the near-dup Jaccard threshold is a data-mixture decision
+every training-data pipeline makes (0.8 is folklore; the right value
+depends on the corpus), and the artifact that decision reads is this
+curve: per candidate threshold, how many pairs fire and how many
+documents the keep-smallest-id policy would drop.  The scale trick is
+that the PPJoin candidate generation runs ONCE at the LOOSEST
+threshold on the curve — its prefix/length/positional prunes are
+lossless for every tighter threshold, so the curve is five exact
+integer aggregations over one checkpointed pair frame, not five
+similarity joins.
+
+Reference parity: none in the reference (glassdoor-scraper/src/
+main.py).  Determinism: the per-pair Jaccard is the same
+round(·, 6) double both engines compute bit-identically (the
+dedup_jaccard_pairs contract, green since r2); thresholds compare as
+the same double literals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as _D
+from .queries import _SQL_CORPUS, _planted_corpus, _sql_shingles, register
+
+_CURVE_THRESHOLDS = (500, 600, 700, 800, 900)  # permille
+_CURVE_FLOOR = min(_CURVE_THRESHOLDS) / 1000.0
+
+
+@register(
+    "corpus_dedup_threshold_curve",
+    oracle=f"""
+    WITH {_SQL_CORPUS}, {_sql_shingles('corpus')},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS (
+        SELECT id_a, id_b,
+               round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6)
+              >= {_CURVE_FLOOR}
+    ),
+    th AS (SELECT unnest({list(_CURVE_THRESHOLDS)}) AS t)
+    SELECT CAST(th.t AS BIGINT) AS threshold_permille,
+           CAST(count(jp.id_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT jp.id_b) AS BIGINT) AS n_docs_dropped
+    FROM th LEFT JOIN jp ON jp.j >= th.t / 1000.0
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Dedup-threshold ablation curve over the planted corpus: for "
+        f"each Jaccard threshold in {_CURVE_THRESHOLDS} permille, the "
+        "surviving near-dup pair count and the documents the "
+        "keep-smallest-id policy drops (distinct larger ids) — the "
+        "artifact the 0.8-or-0.7 mixture decision actually reads. "
+        "PPJoin candidate generation (prefix + length + positional "
+        "prunes, operators/dedup.jaccard_pairs) runs ONCE at the "
+        "loosest threshold on the curve — lossless for every tighter "
+        "one — and the curve is five exact aggregations over that one "
+        "checkpointed pair frame. The 100 TB shape: the pair frame is "
+        "the banded-candidate output (orders of magnitude below the "
+        "corpus), the threshold dim is 5 broadcast rows, and adding a "
+        "threshold to the curve costs one more tiny aggregate, never "
+        "another similarity join.",
+)
+def corpus_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _D.jaccard_pairs(
+        _planted_corpus(spark, sf_dir), threshold=_CURVE_FLOOR
+    ).localCheckpoint()  # one candidate generation serves all thresholds
+    th = spark.createDataFrame(
+        [(t,) for t in _CURVE_THRESHOLDS], "t bigint"
+    )
+    return (
+        F.broadcast(th)
+        .join(pairs, pairs.jaccard >= th.t / F.lit(1000.0), "left")
+        .groupBy(F.col("t").cast("bigint").alias("threshold_permille"))
+        .agg(
+            F.count("id_a").cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("n_docs_dropped"),
+        )
+        .orderBy("threshold_permille")
+    )

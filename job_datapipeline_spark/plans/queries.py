@@ -7656,6 +7656,7 @@ _R8_NEW = (
     "tokenizer_bpe_encode",
     "graph_label_propagation",
     "tokenizer_fertility_by_lang",
+    "corpus_dedup_threshold_curve",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
@@ -7762,5 +7763,6 @@ from . import llm_round8a  # noqa: E402,F401  (interval-overlap join family: ove
 from . import llm_round8b  # noqa: E402,F401  (layout: partition stats / range boundaries / dynamic partition pruning)
 from . import llm_round8c  # noqa: E402,F401  (tokenizer_bpe_encode: distributed merge-table application)
 from . import llm_round8d  # noqa: E402,F401  (graph_label_propagation: pinned synchronous LPA communities)
+from . import llm_round8e  # noqa: E402,F401  (corpus_dedup_threshold_curve: one candidate pass, five thresholds)
 
 _reorder_registry()
