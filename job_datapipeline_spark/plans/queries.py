@@ -7657,6 +7657,7 @@ _R8_NEW = (
     "graph_label_propagation",
     "tokenizer_fertility_by_lang",
     "corpus_dedup_threshold_curve",
+    "sql_recursive_hierarchy",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
@@ -7764,5 +7765,6 @@ from . import llm_round8b  # noqa: E402,F401  (layout: partition stats / range b
 from . import llm_round8c  # noqa: E402,F401  (tokenizer_bpe_encode: distributed merge-table application)
 from . import llm_round8d  # noqa: E402,F401  (graph_label_propagation: pinned synchronous LPA communities)
 from . import llm_round8e  # noqa: E402,F401  (corpus_dedup_threshold_curve: one candidate pass, five thresholds)
+from . import llm_round8f  # noqa: E402,F401  (sql_recursive_hierarchy: Spark 4.1 WITH RECURSIVE surface)
 
 _reorder_registry()
