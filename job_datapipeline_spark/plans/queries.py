@@ -7658,6 +7658,7 @@ _R8_NEW = (
     "tokenizer_fertility_by_lang",
     "corpus_dedup_threshold_curve",
     "sql_recursive_hierarchy",
+    "ml_uplift_qini",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
@@ -7766,5 +7767,6 @@ from . import llm_round8c  # noqa: E402,F401  (tokenizer_bpe_encode: distributed
 from . import llm_round8d  # noqa: E402,F401  (graph_label_propagation: pinned synchronous LPA communities)
 from . import llm_round8e  # noqa: E402,F401  (corpus_dedup_threshold_curve: one candidate pass, five thresholds)
 from . import llm_round8f  # noqa: E402,F401  (sql_recursive_hierarchy: Spark 4.1 WITH RECURSIVE surface)
+from . import llm_round8g  # noqa: E402,F401  (ml_uplift_qini: uplift-model evaluation curve)
 
 _reorder_registry()
