@@ -7659,6 +7659,7 @@ _R8_NEW = (
     "corpus_dedup_threshold_curve",
     "sql_recursive_hierarchy",
     "ml_uplift_qini",
+    "dedup_lsh_tuning_curve",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
@@ -7768,5 +7769,6 @@ from . import llm_round8d  # noqa: E402,F401  (graph_label_propagation: pinned s
 from . import llm_round8e  # noqa: E402,F401  (corpus_dedup_threshold_curve: one candidate pass, five thresholds)
 from . import llm_round8f  # noqa: E402,F401  (sql_recursive_hierarchy: Spark 4.1 WITH RECURSIVE surface)
 from . import llm_round8g  # noqa: E402,F401  (ml_uplift_qini: uplift-model evaluation curve)
+from . import llm_round8h  # noqa: E402,F401  (dedup_lsh_tuning_curve: measured bands x rows S-curve)
 
 _reorder_registry()
