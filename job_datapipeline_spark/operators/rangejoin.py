@@ -160,3 +160,71 @@ def interval_overlap_join(
         F.greatest(F.col(left_lo), F.col(right_lo)) / bin_width
     )
     return a.join(b, [*keys, _BIN]).where(overlap & claimed).drop(_BIN)
+
+
+_BINX = "_jdp_binx"
+_BINY = "_jdp_biny"
+
+
+def grid_containment_join(
+    points: DataFrame,
+    rects: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    x_lo: str,
+    x_hi: str,
+    y_lo: str,
+    y_hi: str,
+    cell: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Join each point to every axis-aligned rectangle containing it
+    (``x_lo <= x <= x_hi AND y_lo <= y <= y_hi``, plus equal ``keys``)
+    as a 2-D grid equi-join — :func:`bin_range_join` lifted to the
+    plane, the geohash/S2-cell pattern behind every spatial
+    containment join at scale.
+
+    Each point maps to its single ``(floor(x/cell), floor(y/cell))``
+    grid cell; each rectangle EXPLODES to the cells it covers (the
+    cross product of its x-bin and y-bin ranges); the equi-join on
+    (keys..., cellx, celly) meets a matching pair in exactly one cell
+    — the point's — so the exact-bounds re-check needs no post-join
+    dedup.  Coordinates must be numeric (quantize degrees to
+    micro-degrees first); ``cell`` is in the same unit.  Cost is
+    ``|points| + sum((w/cell + 1) * (h/cell + 1))`` join rows — pick
+    ``cell`` near the typical rectangle side; the 1-D bin-width sweep
+    in SCALE_GROWTH.md ("Round-8 join-primitive datapoints") is the
+    measured version of the same trade, squared.
+    """
+    if cell <= 0:
+        raise ValueError(f"cell must be positive (got {cell})")
+    pts = points.withColumn(
+        _BINX, F.floor(F.col(x_col) / cell)
+    ).withColumn(_BINY, F.floor(F.col(y_col) / cell))
+    rc = rects.withColumn(
+        _BINX,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(x_lo) / cell), F.floor(F.col(x_hi) / cell)
+            )
+        ),
+    ).withColumn(
+        _BINY,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(y_lo) / cell), F.floor(F.col(y_hi) / cell)
+            )
+        ),
+    )
+    inside = (
+        (F.col(x_col) >= F.col(x_lo))
+        & (F.col(x_col) <= F.col(x_hi))
+        & (F.col(y_col) >= F.col(y_lo))
+        & (F.col(y_col) <= F.col(y_hi))
+    )
+    return (
+        pts.join(rc, [*keys, _BINX, _BINY])
+        .where(inside)
+        .drop(_BINX, _BINY)
+    )

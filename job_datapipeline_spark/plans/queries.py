@@ -7662,6 +7662,7 @@ _R8_NEW = (
     "sql_recursive_hierarchy",
     "ml_uplift_qini",
     "dedup_lsh_tuning_curve",
+    "geo_point_in_rect_join",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
@@ -7772,5 +7773,6 @@ from . import llm_round8e  # noqa: E402,F401  (corpus_dedup_threshold_curve: one
 from . import llm_round8f  # noqa: E402,F401  (sql_recursive_hierarchy: Spark 4.1 WITH RECURSIVE surface)
 from . import llm_round8g  # noqa: E402,F401  (ml_uplift_qini: uplift-model evaluation curve)
 from . import llm_round8h  # noqa: E402,F401  (dedup_lsh_tuning_curve: measured bands x rows S-curve)
+from . import llm_round8i  # noqa: E402,F401  (geo_point_in_rect_join: 2-D grid containment, the geohash pattern)
 
 _reorder_registry()

@@ -241,3 +241,61 @@ def test_overlap_bad_width_raises(spark, interval_frames):
             a, b, left_lo="a_lo", left_hi="a_hi",
             right_lo="b_lo", right_hi="b_hi", bin_width=-1,
         )
+
+
+# ---------------------------------------------------------------------------
+# 2-D grid containment
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def grid_frames(spark):
+    pts = spark.createDataFrame(
+        [(i, (i * 37) % 500, (i * 91) % 400) for i in range(300)],
+        "p_id long, x long, y long",
+    ).localCheckpoint()
+    rects = spark.createDataFrame(
+        [
+            (
+                j,
+                (j * 83) % 450,
+                (j * 83) % 450 + (j * 7) % 121,
+                (j * 59) % 350,
+                (j * 59) % 350 + (j * 11) % 97,
+            )
+            for j in range(80)
+        ],
+        "r_id long, xlo long, xhi long, ylo long, yhi long",
+    ).localCheckpoint()
+    return pts, rects
+
+
+def _naive_grid(pts, rects):
+    a, b = pts.alias("a"), rects.alias("b")
+    cond = (
+        (F.col("a.x") >= F.col("b.xlo"))
+        & (F.col("a.x") <= F.col("b.xhi"))
+        & (F.col("a.y") >= F.col("b.ylo"))
+        & (F.col("a.y") <= F.col("b.yhi"))
+    )
+    return a.join(b, cond).select("a.p_id", "b.r_id")
+
+
+@pytest.mark.parametrize("cell", [13, 60, 1000])
+def test_grid_containment_matches_naive(spark, grid_frames, cell):
+    from job_datapipeline_spark.operators.rangejoin import (
+        grid_containment_join,
+    )
+
+    pts, rects = grid_frames
+    got = grid_containment_join(
+        pts, rects, x_col="x", y_col="y",
+        x_lo="xlo", x_hi="xhi", y_lo="ylo", y_hi="yhi", cell=cell,
+    ).select("p_id", "r_id")
+    expected = {(r.p_id, r.r_id) for r in _naive_grid(pts, rects).collect()}
+    rows = [(r.p_id, r.r_id) for r in got.collect()]
+    assert len(rows) == len(set(rows)), "duplicate pairs (claim broken)"
+    assert set(rows) == expected
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
