@@ -7646,7 +7646,7 @@ _R8_NEW = (
     # round-8 additions: certified in THIS round's window so the terminal
     # state (every registry entry driver-certified >= once) self-sustains.
     # Growth is capped at 50 - 19 - 14 = 17 entries -- asserted below.
-    # Final round-8 count: 14 new (registry 331 -> 345; window 47 of 50,
+    # Final round-8 count: 15 new (registry 331 -> 346; window 48 of 50,
     # backfilled in registry order with already-certified entries).
     "join_interval_overlaps",
     "join_ip_cidr_lookup",
