@@ -7663,6 +7663,7 @@ _R8_NEW = (
     "ml_uplift_qini",
     "dedup_lsh_tuning_curve",
     "geo_point_in_rect_join",
+    "multimodal_audio_vad",
 )
 
 # ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
@@ -7774,5 +7775,6 @@ from . import llm_round8f  # noqa: E402,F401  (sql_recursive_hierarchy: Spark 4.
 from . import llm_round8g  # noqa: E402,F401  (ml_uplift_qini: uplift-model evaluation curve)
 from . import llm_round8h  # noqa: E402,F401  (dedup_lsh_tuning_curve: measured bands x rows S-curve)
 from . import llm_round8i  # noqa: E402,F401  (geo_point_in_rect_join: 2-D grid containment, the geohash pattern)
+from . import llm_round8j  # noqa: E402,F401  (multimodal_audio_vad: energy-threshold voice activity over WAV bytes)
 
 _reorder_registry()

@@ -327,6 +327,64 @@ def decode_audio_features(
     return df.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("win", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    window: int = 160,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-window audio energy — the front half of every energy-threshold
+    VAD (voice-activity detection) pass over a speech corpus: 16-bit PCM
+    WAV bytes -> fixed-size sample windows -> EXACT int64 sum of squared
+    samples per window, one Arrow-batched Python stage (the only place
+    bytes are touched); thresholding and segment assembly stay JVM-side
+    on the (path, win, energy) rows.  Trailing partial windows are kept
+    (their energy sums fewer samples).  Undecodable blobs emit no rows —
+    blob-level auditing is ``decode_audio_features``'s job.  Exactness:
+    |int16|^2 * window <= 2^31 * 2^8 per window, far inside int64, so
+    the energies replay bit-identically in any engine or a plain python
+    accumulation (the golden-oracle property every decoder here keeps)."""
+    import io
+    import wave
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    with wave.open(
+                        io.BytesIO(bytes(content) if content is not None else b""),
+                        "rb",
+                    ) as w:
+                        if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+                            continue
+                        raw = w.readframes(w.getnframes())
+                except (wave.Error, EOFError):
+                    continue
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for i in range(0, len(samples), window):
+                    rows.append(
+                        {
+                            "path": path,
+                            "win": i // window,
+                            "energy": int(np.sum(samples[i : i + window] ** 2)),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["path", "win", "energy"])
+
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(gen, AUDIO_ENERGY_SCHEMA)
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("path", StringType()),
