@@ -7646,8 +7646,8 @@ _R8_NEW = (
     # round-8 additions: certified in THIS round's window so the terminal
     # state (every registry entry driver-certified >= once) self-sustains.
     # Growth is capped at 50 - 19 - 14 = 17 entries -- asserted below.
-    # Final round-8 count: 15 new (registry 331 -> 346; window 48 of 50,
-    # backfilled in registry order with already-certified entries).
+    # Final round-8 count: 16 new (registry 331 -> 347; window 49 of 50,
+    # backfilled in registry order with one already-certified entry).
     "join_interval_overlaps",
     "join_ip_cidr_lookup",
     "join_scd2_point_in_time",
