@@ -176,5 +176,86 @@ def main() -> None:
         ents.unpersist()
 
 
+# -- experiment 3 (added later in round 8): the 2-D cell-size trade --------
+# grid_containment_join squares the 1-D bin trade: rectangle bin rows are
+# (w/cell + 1) * (h/cell + 1), so the too-small-cell penalty grows
+# QUADRATICALLY while the too-large-cell penalty is the same residual-
+# filter blowup.  Typical rectangle half-side here is ~500 on both axes.
+
+GRID_N_POINTS = 1_000_000
+GRID_N_RECTS = 50_000
+GRID_SPAN = 1_000_000
+GRID_TYP = 500  # typical rectangle half-side
+
+
+def build_grid_points(spark, n: int):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("p_id"),
+            ((F.col("id") * 2654435761) % GRID_SPAN).alias("x"),
+            ((F.col("id") * 40503) % GRID_SPAN).alias("y"),
+        )
+        .localCheckpoint()
+    )
+
+
+def build_grid_rects(spark, m: int):
+    cx = (F.col("id") * 7919) % GRID_SPAN
+    cy = (F.col("id") * 104729) % GRID_SPAN
+    hw = (F.col("id") * 7) % GRID_TYP + GRID_TYP // 2
+    hh = (F.col("id") * 11) % GRID_TYP + GRID_TYP // 2
+    return (
+        spark.range(m)
+        .select(
+            F.col("id").alias("r_id"),
+            (cx - hw).alias("xlo"),
+            (cx + hw).alias("xhi"),
+            (cy - hh).alias("ylo"),
+            (cy + hh).alias("yhi"),
+        )
+        .localCheckpoint()
+    )
+
+
+def run_grid(points, rects, cell: int) -> None:
+    from job_datapipeline_spark.operators.rangejoin import (
+        grid_containment_join,
+    )
+
+    out = grid_containment_join(
+        points, rects, x_col="x", y_col="y",
+        x_lo="xlo", x_hi="xhi", y_lo="ylo", y_hi="yhi", cell=cell,
+    )
+    out.write.format("noop").mode("overwrite").save()
+
+
+def grid_main(spark) -> None:
+    for scale in (1, 10):
+        pts = build_grid_points(spark, GRID_N_POINTS * scale)
+        rcs = build_grid_rects(spark, GRID_N_RECTS * scale)
+        for cell in (100, 1_000, 10_000, 100_000):
+            bins = rcs.select(
+                F.sum(
+                    (F.floor(F.col("xhi") / cell) - F.floor(F.col("xlo") / cell) + 1)
+                    * (F.floor(F.col("yhi") / cell) - F.floor(F.col("ylo") / cell) + 1)
+                ).alias("b")
+            ).collect()[0][0]
+            sec = timed(run_grid, pts, rcs, cell)
+            print(json.dumps({
+                "exp": "grid_containment_join", "scale": scale, "cell": cell,
+                "rect_cell_rows": int(bins), "sec": round(sec, 2),
+            }), flush=True)
+        pts.unpersist()
+        rcs.unpersist()
+
+
 if __name__ == "__main__":
-    main()
+    if "--grid-only" in sys.argv:
+        spark = get_spark()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        grid_main(spark)
+    else:
+        main()
+        grid_main(get_spark())
