@@ -7671,6 +7671,15 @@ _R8_NEW = (
 # window never exceeds 50).  After this window certifies, EVERY registry
 # entry has carried a hard driver row at least once; from round 9 on the
 # window re-rotates oldest certifications plus same-round additions.
+#
+# r9 POLICY (committed): window = (all r9-new queries) + the stalest
+# first-certifications from ``python tools/cert_ledger.py`` (oldest
+# round first, name asc within a round), filled to 50.  The ledger is
+# computed from the CORRECTNESS_r0N.json files in-repo; as of end of
+# round 8 the stalest pool after this round's gate is the 36 r1 + 14 r2
+# certifications, so r9's window should be r9-new + r1 certs + r2 certs
+# in that order.  This keeps every entry's certification age bounded at
+# ~7 rounds with zero further bookkeeping.
 _DRIVER_WINDOW_FIRST = _R8_QUEUE + _R7_NEW + _R8_NEW
 
 def _in_partial_plans_import() -> bool:
