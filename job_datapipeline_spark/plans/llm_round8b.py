@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import literal_dim, table
-from ..operators.ranks import int_div
+
 from .queries import _scratch_dir, register
 
 # ---------------------------------------------------------------------------
@@ -34,7 +34,6 @@ from .queries import _scratch_dir, register
 # ---------------------------------------------------------------------------
 
 _ZONE_LO, _ZONE_HI = 1_000, 5_000  # the probe predicate's l_orderkey band
-
 
 @register(
     "layout_partition_stats",
@@ -92,13 +91,11 @@ def layout_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ship_month")
     )
 
-
 # ---------------------------------------------------------------------------
 # Exact range-partitioner boundaries
 # ---------------------------------------------------------------------------
 
 _N_BUCKETS = 16
-
 
 @register(
     "layout_range_boundaries",
@@ -131,16 +128,25 @@ _N_BUCKETS = 16
         "boundaries; writers that must guarantee balanced output files "
         "need the exact form). Per-bucket row counts come CLOSED-FORM "
         "from the rank arithmetic (floor(i*n/B) - floor((i-1)*n/B)) — "
-        "the balance proof costs nothing. int_div keeps every rank "
-        "exact past 2^53. The 100 TB shape: two narrow passes over the "
+        "the balance proof costs nothing. Ranks use native shiftright "
+        "(B is a power of two) — exact at any bigint scale and "
+        "whole-stage-codegen fast, vs the decimal int_div's measured "
+        "2.5-3x per-row cost. The 100 TB shape: two narrow passes over the "
         "key column; boundaries then drive a write.repartitionByRange.",
 )
 def layout_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranks import exact_rank_values
 
     li = table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("v"))
+    # the rank expressions evaluate PER ROW over every candidate
+    # partition, so they must stay native-bigint: _N_BUCKETS is a power
+    # of two, and shiftright(n*i, log2(B)) == (n*i) div B exactly at any
+    # bigint scale — measured 2.5-3x faster than the decimal-backed
+    # int_div on the sf0.1 keep-predicate scan (the exact_ntile lesson)
+    shift = _N_BUCKETS.bit_length() - 1
+    assert 1 << shift == _N_BUCKETS
     ranks = [
-        (lambda n, i=i: int_div(n * i, _N_BUCKETS))
+        (lambda n, i=i: F.shiftright(n * i, shift))
         for i in range(1, _N_BUCKETS)
     ]
     picked = exact_rank_values(
@@ -155,16 +161,18 @@ def layout_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.join(
             F.broadcast(idx),
             F.col("boundary_rank")
-            == int_div(F.col("n_total") * F.col("boundary_idx"), _N_BUCKETS),
+            == F.shiftright(
+                F.col("n_total") * F.col("boundary_idx"), shift
+            ),
         )
         .select(
             "boundary_idx",
             F.col("boundary_rank").cast("bigint"),
             F.col("v").cast("bigint").alias("boundary_value"),
             (
-                int_div(F.col("n_total") * F.col("boundary_idx"), _N_BUCKETS)
-                - int_div(
-                    F.col("n_total") * (F.col("boundary_idx") - 1), _N_BUCKETS
+                F.shiftright(F.col("n_total") * F.col("boundary_idx"), shift)
+                - F.shiftright(
+                    F.col("n_total") * (F.col("boundary_idx") - 1), shift
                 )
             )
             .cast("bigint")
@@ -172,7 +180,6 @@ def layout_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("boundary_idx")
     )
-
 
 # ---------------------------------------------------------------------------
 # Dynamic partition pruning
@@ -185,7 +192,6 @@ _QUARTERS = {
     "10": "Q4", "11": "Q4", "12": "Q4",
 }
 
-
 def _calendar_rows() -> list[tuple[str, str]]:
     return [
         (f"{y}-{m}", _QUARTERS[m])
@@ -193,7 +199,6 @@ def _calendar_rows() -> list[tuple[str, str]]:
         for m in ("01", "02", "03", "04", "05", "06",
                   "07", "08", "09", "10", "11", "12")
     ]
-
 
 def dpp_fact_and_dim(
     spark: SparkSession, sf_dir: str
@@ -216,7 +221,6 @@ def dpp_fact_and_dim(
         spark, _calendar_rows(), "cal_month string, quarter string"
     ).coalesce(1).write.mode("overwrite").parquet(dim_path)
     return spark.read.parquet(fact_path), spark.read.parquet(dim_path)
-
 
 @register(
     "layout_dpp_prune",
