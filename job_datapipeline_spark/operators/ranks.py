@@ -280,7 +280,16 @@ def exact_rank_values(
     global rank in ``rn_col``; with ``total_col`` set, the total row
     count n rides along too (it is already computed for the pruning
     predicate — keeping it saves callers a second full count pass over
-    the input)."""
+    the input).
+
+    The rank expressions are evaluated ONLY on P-row frames (the pruning
+    predicate, and an ``_ranks`` array stamped onto the broadcast
+    candidate rows); the per-data-row keep test is a native
+    ``array_contains`` over that tiny bigint array.  Callers may
+    therefore hand in decimal-backed ``int_div`` expressions for
+    exactness past 2^53 without paying decimal arithmetic per row —
+    re-evaluating rk(n) per data row measured 2.5-3x slower on a
+    15-rank sf0.1 scan (the layout_range_boundaries case)."""
     part = stamp_range_partitions(df, order_cols)
     counts = part.groupBy(_PID).agg(F.count("*").alias("_cnt"))
     offsets = _prefix_offsets(counts, "_cnt").join(counts, _PID)
@@ -293,17 +302,22 @@ def exact_rank_values(
         c = (rk(n) > F.col("_off")) & (rk(n) <= F.col("_off") + F.col("_cnt"))
         hit = c if hit is None else (hit | c)
     cand = (
-        offsets.crossJoin(F.broadcast(total)).where(hit).select(_PID, "_off", "_n")
+        offsets.crossJoin(F.broadcast(total))
+        .where(hit)
+        .select(
+            _PID,
+            "_off",
+            "_n",
+            F.array(*[rk(n).cast("long") for rk in rank_exprs]).alias("_ranks"),
+        )
     )
     w = Window.partitionBy(_PID).orderBy(*_cols(order_cols))
     numbered = part.join(F.broadcast(cand), _PID).withColumn(
         rn_col, F.row_number().over(w) + F.col("_off")
     )
-    keep = None
-    for rk in rank_exprs:
-        c = F.col(rn_col) == rk(n)
-        keep = c if keep is None else (keep | c)
-    out = numbered.where(keep).drop(_PID, "_off")
+    out = numbered.where(
+        F.array_contains(F.col("_ranks"), F.col(rn_col))
+    ).drop(_PID, "_off", "_ranks")
     if total_col is None:
         return out.drop("_n")
     return out.withColumnRenamed("_n", total_col)
