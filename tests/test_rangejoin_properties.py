@@ -148,3 +148,36 @@ def test_grid_containment_matches_bruteforce_prop(spark, pts, rects, cell):
     }
     assert len(rows) == len(set(rows))
     assert set(rows) == expected
+
+
+# ---------------------------------------------------------------------------
+# exact_rank_values (touched this round: array-keep rewrite)
+# ---------------------------------------------------------------------------
+
+from job_datapipeline_spark.operators.ranks import exact_rank_values, int_div
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    divisors=st.lists(st.sampled_from([2, 3, 4, 10, 16]), min_size=1,
+                      max_size=3, unique=True),
+)
+def test_exact_rank_values_matches_sorted_reference(spark, vals, divisors):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    ranks = [(lambda n, d=d: int_div(n + d - 1, d)) for d in divisors]
+    got = {
+        (r.rn, r.v, r.t)
+        for r in exact_rank_values(
+            df, ["v", "id"], ranks, rn_col="rn", total_col="t"
+        ).collect()
+    }
+    n = len(vals)
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    expected = {
+        ((n + d - 1) // d, ordered[(n + d - 1) // d - 1][1], n)
+        for d in divisors
+        if 1 <= (n + d - 1) // d <= n
+    }
+    assert got == expected
