@@ -20,7 +20,17 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from job_datapipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from job_datapipeline_spark.plans.queries import (  # noqa: E402
+    REGISTRY,
+    ensure_registry_order,
+)
+
+# The gate hard-checks the FIRST 50 registry entries, so ordering (and the
+# window-integrity assertions) must hold HERE even if some other module
+# imported a plans sibling first and the module-bottom reorder skipped
+# itself (the partial-import guard).  All imports are complete by now, so
+# this always validates.
+ensure_registry_order()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -127,7 +127,7 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the k-row decile frame: it feeds THREE consumers (the
     # triangular cumulative's both sides and the total), and without the
     # checkpoint each replays the whole post-checkpoint ntile subtree —
-    # measured 31 -> 8 plan exchanges (plan_pins ledger)
+    # measured 31 -> 5 plan exchanges (plan_pins ledger)
     g = (
         d.groupBy(F.col("decile").cast("bigint").alias("decile"))
         .agg(

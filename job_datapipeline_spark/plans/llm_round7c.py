@@ -10,13 +10,14 @@ counts and pinned as boolean columns (the agg_approx_distinct
 convention), so the oracle checks the GUARANTEE, not the layout-
 dependent estimates.
 
-The partition summaries run in an Arrow ``mapInPandas`` stage with the
-batched-decrement form of MG: fold each Arrow batch's value_counts into
-the counter dict, and when it exceeds K keys subtract the (K+1)-th
-largest count from everything and drop the non-positive — each such
-round removes >= (K+1) x decrement of total mass, which is exactly why
-no single key can ever lose more than n/(K+1) (Misra & Gries 1982;
-merged summaries keep the bound, Agarwal et al. 2013).
+The partition summaries run in an Arrow ``mapInPandas`` stage folding
+each Arrow batch's value_counts token-by-token into the counter dict;
+whenever the dict exceeds K keys, every one of the K+1 counters loses
+d = min(counter values) and the non-positive drop — peak counter size
+is K+1 regardless of the Arrow batch's distinct count, and each prune
+removes >= (K+1) x d of total mass, which is exactly why no single key
+can ever lose more than n/(K+1) (Misra & Gries 1982; merged summaries
+keep the bound, Agarwal et al. 2013).
 
 Reference parity: none in the reference (glassdoor-scraper/src/
 main.py).  Float discipline: everything here is integer counts and

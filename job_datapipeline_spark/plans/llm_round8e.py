@@ -65,27 +65,42 @@ _CURVE_FLOOR = min(_CURVE_THRESHOLDS) / 1000.0
         "PPJoin candidate generation (prefix + length + positional "
         "prunes, operators/dedup.jaccard_pairs) runs ONCE at the "
         "loosest threshold on the curve — lossless for every tighter "
-        "one — and the curve is five exact aggregations over that one "
-        "checkpointed pair frame. The 100 TB shape: the pair frame is "
-        "the banded-candidate output (orders of magnitude below the "
-        "corpus), the threshold dim is 5 broadcast rows, and adding a "
-        "threshold to the curve costs one more tiny aggregate, never "
-        "another similarity join.",
+        "one — and the whole curve is ONE conditional aggregate over "
+        "that checkpointed pair frame (count_if + conditional distinct "
+        "per threshold, stack()-melted to rows; no join anywhere). The "
+        "100 TB shape: the pair frame is the banded-candidate output "
+        "(orders of magnitude below the corpus) and adding a threshold "
+        "costs two more aggregate columns, never another similarity "
+        "join.",
 )
 def corpus_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _D.jaccard_pairs(
         _planted_corpus(spark, sf_dir), threshold=_CURVE_FLOOR
     ).localCheckpoint()  # one candidate generation serves all thresholds
-    th = spark.createDataFrame(
-        [(t,) for t in _CURVE_THRESHOLDS], "t bigint"
+    # no join at all: one conditional aggregate computes every
+    # threshold's (pair count, distinct dropped docs) — a single pass
+    # over the pair frame even when a threshold matches zero pairs (the
+    # global aggregate always returns its one row) — then stack() melts
+    # the 1-row result to the 5-row curve
+    aggs = []
+    for t in _CURVE_THRESHOLDS:
+        hit = F.col("jaccard") >= t / 1000.0
+        aggs.append(F.count_if(hit).cast("bigint").alias(f"np_{t}"))
+        aggs.append(
+            F.count_distinct(F.when(hit, F.col("id_b")))
+            .cast("bigint")
+            .alias(f"nd_{t}")
+        )
+    stack = ", ".join(
+        f"CAST({t} AS BIGINT), np_{t}, nd_{t}" for t in _CURVE_THRESHOLDS
     )
     return (
-        F.broadcast(th)
-        .join(pairs, pairs.jaccard >= th.t / F.lit(1000.0), "left")
-        .groupBy(F.col("t").cast("bigint").alias("threshold_permille"))
-        .agg(
-            F.count("id_a").cast("bigint").alias("n_pairs"),
-            F.countDistinct("id_b").cast("bigint").alias("n_docs_dropped"),
+        pairs.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(_CURVE_THRESHOLDS)}, {stack}) AS "
+                "(threshold_permille, n_pairs, n_docs_dropped)"
+            )
         )
         .orderBy("threshold_permille")
     )

@@ -7786,4 +7786,23 @@ from . import llm_round8h  # noqa: E402,F401  (dedup_lsh_tuning_curve: measured 
 from . import llm_round8i  # noqa: E402,F401  (geo_point_in_rect_join: 2-D grid containment, the geohash pattern)
 from . import llm_round8j  # noqa: E402,F401  (multimodal_audio_vad: energy-threshold voice activity over WAV bytes)
 
+def ensure_registry_order() -> None:
+    """Idempotent reorder + window-integrity assertions, for callers that
+    NEED the driver-window ordering (the gate surface __spark_entry__.py).
+
+    The module-bottom call below skips itself inside a CIRCULAR import
+    started by a sibling plans module — the Spark-worker unpickle shape,
+    but also any driver-side process that imports a round module before
+    queries (several tests do).  In those processes the registry stays
+    unordered and UNVALIDATED; this hook closes the hole for consumers
+    that matter: by the time __spark_entry__ (or a test) calls it, every
+    plans module has finished importing, so the assertions always run."""
+    if _in_partial_plans_import():
+        raise RuntimeError(
+            "ensure_registry_order() called while a plans module is still "
+            "initializing — order cannot be established here"
+        )
+    _reorder_registry()
+
+
 _reorder_registry()

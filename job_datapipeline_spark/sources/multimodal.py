@@ -348,7 +348,7 @@ def audio_energy_windows(
     samples per window, one Arrow-batched Python stage (the only place
     bytes are touched); thresholding and segment assembly stay JVM-side
     on the (path, win, energy) rows.  Trailing partial windows are kept
-    (their energy sums fewer samples).  Undecodable blobs emit no rows —
+    (their energy sums fewer samples).  Undecodable or non-MONO blobs emit no rows —
     blob-level auditing is ``decode_audio_features``'s job.  Exactness:
     |int16|^2 * window <= 2^31 * 2^8 per window, far inside int64, so
     the energies replay bit-identically in any engine or a plain python
@@ -365,7 +365,15 @@ def audio_energy_windows(
                         io.BytesIO(bytes(content) if content is not None else b""),
                         "rb",
                     ) as w:
-                        if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+                        if (
+                            w.getsampwidth() != 2
+                            or w.getcomptype() != "NONE"
+                            or w.getnchannels() != 1
+                        ):
+                            # windows are TIME-aligned sample runs; an
+                            # interleaved multi-channel stream would halve
+                            # the covered frames per window and mix
+                            # channels — mono only, like the VAD semantics
                             continue
                         raw = w.readframes(w.getnframes())
                 except (wave.Error, EOFError):

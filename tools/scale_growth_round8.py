@@ -121,13 +121,15 @@ def run_fuzzy(df) -> int:
     return out.collect()[0][0] or 0
 
 
-def timed(fn, *args) -> float:
-    best = float("inf")
+def timed(fn, *args):
+    """(best wall seconds of 3, last call's return value) — callers that
+    need the result don't pay a fourth un-timed invocation."""
+    best, res = float("inf"), None
     for _ in range(3):
         t0 = time.monotonic()
-        fn(*args)
+        res = fn(*args)
         best = min(best, time.monotonic() - t0)
-    return best
+    return best, res
 
 
 def main() -> None:
@@ -150,7 +152,7 @@ def main() -> None:
                     F.floor(F.col("hi") / bin_w) - F.floor(F.col("lo") / bin_w) + 1
                 ).alias("b")
             ).collect()[0][0]
-            sec = timed(run_range, pts, ivl, bin_w)
+            sec, _ = timed(run_range, pts, ivl, bin_w)
             print(json.dumps({
                 "exp": "bin_range_join", "scale": scale, "bin_width": bin_w,
                 "interval_bin_rows": int(bins), "sec": round(sec, 2),
@@ -166,8 +168,7 @@ def main() -> None:
         ("10x_bigger_blocks", base_blocks, base_size * 10),
     ):
         ents = build_entities(spark, n_blocks, block_size)
-        n_pairs = run_fuzzy(ents)
-        sec = timed(run_fuzzy, ents)
+        sec, n_pairs = timed(run_fuzzy, ents)
         print(json.dumps({
             "exp": "blocked_fuzzy", "mode": label,
             "rows": n_blocks * block_size, "pairs": int(n_pairs),
@@ -241,7 +242,7 @@ def grid_main(spark) -> None:
                     * (F.floor(F.col("yhi") / cell) - F.floor(F.col("ylo") / cell) + 1)
                 ).alias("b")
             ).collect()[0][0]
-            sec = timed(run_grid, pts, rcs, cell)
+            sec, _ = timed(run_grid, pts, rcs, cell)
             print(json.dumps({
                 "exp": "grid_containment_join", "scale": scale, "cell": cell,
                 "rect_cell_rows": int(bins), "sec": round(sec, 2),
