@@ -301,6 +301,19 @@ def exact_rank_values(
     for rk in rank_exprs:
         c = (rk(n) > F.col("_off")) & (rk(n) <= F.col("_off") + F.col("_cnt"))
         hit = c if hit is None else (hit | c)
+    # Integrality guard: _ranks truncates to long, so a non-integral rank
+    # expression (caller error) would otherwise match truncated ranks and
+    # return plausible-but-wrong rows while the pruning predicate above
+    # used the untruncated value.  assert_true fails the job loudly
+    # instead; it is folded into the consumed _ranks column (via when) so
+    # Catalyst's column pruning cannot drop the check.
+    integral = F.lit(True)
+    for rk in rank_exprs:
+        integral = integral & (rk(n) == rk(n).cast("long"))
+    chk = F.assert_true(
+        integral,
+        F.lit("exact_rank_values: rank_exprs must evaluate to integral ranks"),
+    )
     cand = (
         offsets.crossJoin(F.broadcast(total))
         .where(hit)
@@ -308,7 +321,10 @@ def exact_rank_values(
             _PID,
             "_off",
             "_n",
-            F.array(*[rk(n).cast("long") for rk in rank_exprs]).alias("_ranks"),
+            F.when(
+                chk.isNull(),
+                F.array(*[rk(n).cast("long") for rk in rank_exprs]),
+            ).alias("_ranks"),
         )
     )
     w = Window.partitionBy(_PID).orderBy(*_cols(order_cols))

@@ -56,6 +56,18 @@ BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {
 KNOWN: dict[str, tuple[int | None, str]] = {
     # -- exchange-count pins: the query is ALLOWED this many exchanges;
     # one more fails the asserted gate --
+    "corpus_decontaminate_semantic": (11,
+        "both probe sides re-aggregate the checkpointed cell-assignment "
+        "frame (train/eval split + two 1-row verdict aggregates + the "
+        "flag groupBy + final sort); every exchange moves assignment- or "
+        "verdict-sized rows, never train x eval — the candidate stage "
+        "itself is the cell-key equi-join"),
+    "tokenizer_unigram_lm": (13,
+        "final-pass lineage only (the EM rounds sit behind per-round "
+        "vocab checkpoints): the Viterbi edge groupBy, the usage "
+        "aggregate + distinct-word count, two 1-row mass aggregates and "
+        "the output sort — all over the word-TYPE frame (vocabulary-"
+        "sized), never the token stream"),
     "events_active_users": (12,
         "exact sliding DISTINCT cannot partial-aggregate: DAU + two "
         "countDistinct windows each pay their two-phase exchange, all on "
@@ -88,12 +100,14 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "boundary ranks over the lineitem key frame: one range exchange "
         "+ candidate-partition sorts + P-row offset plumbing; the "
         "boundary count, not the data, sets the rank-expression fan"),
-    "dedup_lsh_tuning_curve": (24,
+    "dedup_lsh_tuning_curve": (23,
         "4 (bands, rows) configs x (per-doc banding agg + band-keyed "
         "self-join + verdict agg) over ONE checkpointed signature "
         "matrix, plus checkpointed truth/total plumbing — the exchange "
         "count scales with |configs| on the sweep, never with corpus "
-        "size; each config is the standard banded-candidate shape"),
+        "size; each config is the standard banded-candidate shape. "
+        "24 -> 23 in r9: the production config's candidates come from "
+        "the shared checkpointed artifact frame (one banding pass less)"),
     "dedup_incremental_batch": (10,
         "exact-dup + LSH + verify + two output joins — stages shuffle on "
         "different keys; hist/batch frames are checkpointed so none "

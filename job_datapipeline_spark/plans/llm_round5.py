@@ -1563,23 +1563,19 @@ from .queries import _NDD_BANDS  # noqa: E402
         "the whole corpus.",
 )
 def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = (
-        docs.unionByName(
-            docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-        )
-        .unionByName(
-            docs.select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
-            )
-        )
-        .localCheckpoint()  # feeds signatures AND the exact-verify re-tokenize
-    )
-    sigs = _D.minhash_signatures(corpus, num_hashes=_NDD_HASHES).localCheckpoint()
-    cand = _D.lsh_candidate_pairs(
-        sigs, bands=_NDD_BANDS, rows_per_band=_NDD_RPB
-    ).localCheckpoint()  # feeds the seed-match join AND jaccard_verify
+    from .queries import _planted_dedup_artifact
+
+    # Session-scoped shared artifacts (r9 verdict item 7): corpus,
+    # signature and production-config candidate frames are the same
+    # checkpointed builds the other two dedup QA queries use — built
+    # once per session, identical values.
+    corpus = _planted_dedup_artifact(
+        spark, sf_dir, "corpus"
+    )  # feeds the exact-verify re-tokenize
+    sigs = _planted_dedup_artifact(spark, sf_dir, "sigs")
+    cand = _planted_dedup_artifact(
+        spark, sf_dir, "cand_prod"
+    )  # checkpointed; feeds the seed-match join AND jaccard_verify
     m = (
         cand.join(
             sigs.select(F.col("doc_id").alias("id_a"), "seed",

@@ -159,9 +159,13 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("word") * F.col("c")).cast("bigint").alias("chars_raw"),
         F.sum("c").cast("bigint").alias("n_words"),
     )
+    # No checkpoint here: raw is already materialized above and this is a
+    # single-consumer one-projection derivative — the merge loop re-
+    # checkpoints every round anyway, so a second materialization of the
+    # full word-type frame buys nothing.
     cur = raw.select(
         F.regexp_replace("word", "(.)", "$1" + sep).alias("s"), "c"
-    ).localCheckpoint()
+    )
     for _ in range(_BPE_ROUNDS):
         l = F.split(F.col("s"), sep)
         pairs = cur.select(

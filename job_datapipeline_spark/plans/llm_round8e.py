@@ -23,11 +23,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup as _D
-from .queries import _SQL_CORPUS, _planted_corpus, _sql_shingles, register
+from .queries import (
+    _DEDUP_PAIR_FLOOR,
+    _SQL_CORPUS,
+    _planted_dedup_artifact,
+    _sql_shingles,
+    register,
+)
 
 _CURVE_THRESHOLDS = (500, 600, 700, 800, 900)  # permille
 _CURVE_FLOOR = min(_CURVE_THRESHOLDS) / 1000.0
+# The shared artifact frame is generated at the loosest floor any trio
+# member needs; this curve's own floor must never drop below it.
+assert _CURVE_FLOOR >= _DEDUP_PAIR_FLOOR
 
 
 @register(
@@ -74,9 +82,14 @@ _CURVE_FLOOR = min(_CURVE_THRESHOLDS) / 1000.0
         "join.",
 )
 def corpus_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _D.jaccard_pairs(
-        _planted_corpus(spark, sf_dir), threshold=_CURVE_FLOOR
-    ).localCheckpoint()  # one candidate generation serves all thresholds
+    # One candidate generation serves all thresholds — and the session-
+    # scoped artifact memo means the SAME checkpointed pair frame also
+    # serves dedup_lsh_tuning_curve's truth set when both run in one
+    # session (r9 verdict item 7: the trio no longer rebuilds shingles/
+    # signatures/truth three times over).
+    pairs = _planted_dedup_artifact(spark, sf_dir, "pairs_floor").filter(
+        F.col("jaccard") >= _CURVE_FLOOR
+    )
     # no join at all: one conditional aggregate computes every
     # threshold's (pair count, distinct dropped docs) — a single pass
     # over the pair frame even when a threshold matches zero pairs (the

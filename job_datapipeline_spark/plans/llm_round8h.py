@@ -31,7 +31,7 @@ from ..operators import dedup as _D
 from .queries import (
     _NDD_HASHES,
     _SQL_CORPUS,
-    _planted_corpus,
+    _planted_dedup_artifact,
     _sql_shingles,
     register,
 )
@@ -131,19 +131,32 @@ def _lsh_curve_oracle() -> str:
         "all pairs, never a second signature build.",
 )
 def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _planted_corpus(spark, sf_dir).localCheckpoint()
-    sigs = _D.minhash_signatures(
-        corpus, num_hashes=_NDD_HASHES
-    ).localCheckpoint()  # one signature build serves every config
+    # Session-scoped shared artifacts (r9 verdict item 7): the signature
+    # frame and the loose-floor exact pair frame are the SAME checkpointed
+    # frames corpus_dedup_threshold_curve / dedup_minhash_estimate_accuracy
+    # use — one signature build and one PPJoin serve the whole QA trio.
+    # PPJoin prunes are lossless, so filtering the 0.5-floor pairs to the
+    # truth threshold IS jaccard_pairs(corpus, _LSH_TRUTH_T).
+    sigs = _planted_dedup_artifact(
+        spark, sf_dir, "sigs"
+    )  # one signature build serves every config
     truth = (
-        _D.jaccard_pairs(corpus, threshold=_LSH_TRUTH_T)
+        _planted_dedup_artifact(spark, sf_dir, "pairs_floor")
+        .filter(F.col("jaccard") >= _LSH_TRUTH_T)
         .select("id_a", "id_b")
-        .localCheckpoint()  # one truth build serves every config
+        .localCheckpoint()  # tiny; feeds n_true + every config join
     )
     n_true = truth.groupBy().agg(F.count("*").cast("bigint").alias("n_true"))
     out = None
+    from .queries import _NDD_BANDS, _NDD_RPB
+
     for b, r in _LSH_CONFIGS:
-        cand = _D.lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
+        if (b, r) == (_NDD_BANDS, _NDD_RPB):
+            # the production config's candidates are the shared artifact
+            # frame dedup_minhash_estimate_accuracy also reranks
+            cand = _planted_dedup_artifact(spark, sf_dir, "cand_prod")
+        else:
+            cand = _D.lsh_candidate_pairs(sigs, bands=b, rows_per_band=r)
         counted = cand.join(
             truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
         ).agg(

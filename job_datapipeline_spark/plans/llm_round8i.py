@@ -35,7 +35,7 @@ _GEO_CELL = 5_000_000  # 5 degrees in micro-degrees
 
 def _rect_bounds_sql(key: str) -> str:
     """Supplier service rectangles in SQL: center = salted synth coords,
-    half-sides 2-10 / 1.5-10.5 degrees from the key."""
+    half-sides 4-20 degrees (lon) / 2.5-17.5 degrees (lat) from the key."""
     lat = f"(CAST(({key} * 6151) % 16000 AS BIGINT) * 10000 - 80000000)"
     lon = f"(CAST(({key} * 104729) % 36000 AS BIGINT) * 10000 - 180000000)"
     hw = f"(({key} % 5 + 1) * 4000000)"

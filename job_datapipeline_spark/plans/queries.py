@@ -1253,6 +1253,65 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(exact).unionByName(near)
 
 
+# Loosest exact-pair threshold any consumer of the shared artifacts needs:
+# PPJoin prunes are lossless, so the 0.5-floor pair frame filtered to any
+# tighter threshold IS that threshold's jaccard_pairs output.
+_DEDUP_PAIR_FLOOR = 0.5
+
+_DEDUP_ARTIFACTS: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _planted_dedup_artifact(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Session-scoped LAZY memo of the planted-corpus measurement
+    artifacts the dedup QA trio shares:
+
+    - ``corpus``       the checkpointed planted corpus
+    - ``sigs``         its MinHash signature frame (_NDD_HASHES seeds)
+    - ``pairs_floor``  exact PPJoin pairs at the loosest (0.5) floor
+    - ``cand_prod``    LSH candidates at the PRODUCTION config
+                       (_NDD_BANDS x _NDD_RPB)
+
+    dedup_minhash_estimate_accuracy, dedup_lsh_tuning_curve and
+    corpus_dedup_threshold_curve each need some subset and each used to
+    rebuild shingles/signatures/truth from scratch (~25 s combined,
+    ~6-7% of the whole bench).  Every query stays a PURE function of
+    (spark, sf_dir): the artifacts are deterministic, the first caller
+    of each frame in a session pays its build, and standalone runs are
+    unchanged in semantics — the memo only collapses identical
+    checkpointed builds when several of the trio run in one session
+    (the bench / correctness-gate shape).  Laziness matters: the
+    threshold curve never pays the signature build, the estimate report
+    never pays the 0.5-floor PPJoin.  Keyed by Spark applicationId so a
+    fresh session never sees another session's (unreachable) frames."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _DEDUP_ARTIFACTS.get(key)
+    if df is None:
+        if name == "corpus":
+            df = _planted_corpus(spark, sf_dir).localCheckpoint()
+        elif name == "sigs":
+            df = _D.minhash_signatures(
+                _planted_dedup_artifact(spark, sf_dir, "corpus"),
+                num_hashes=_NDD_HASHES,
+            ).localCheckpoint()
+        elif name == "pairs_floor":
+            df = _D.jaccard_pairs(
+                _planted_dedup_artifact(spark, sf_dir, "corpus"),
+                threshold=_DEDUP_PAIR_FLOOR,
+            ).localCheckpoint()
+        elif name == "cand_prod":
+            df = _D.lsh_candidate_pairs(
+                _planted_dedup_artifact(spark, sf_dir, "sigs"),
+                bands=_NDD_BANDS,
+                rows_per_band=_NDD_RPB,
+            ).localCheckpoint()
+        else:  # pragma: no cover - caller bug
+            raise KeyError(name)
+        _DEDUP_ARTIFACTS[key] = df
+    return df
+
+
 def _sql_shingles(src: str) -> str:
     """Shingle CTE replaying operators/dedup._shingles: distinct word
     3-grams, whole-doc fallback for short docs."""
@@ -7589,98 +7648,81 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After this round every other registry entry will have a hard driver row
 # (target: >=150/159 cumulative).
 #
-# Round-8 rotation (this window): rounds 1-7 hard-certified 298 distinct
-# queries; the never-certified residue is exactly the 19-entry _R8_QUEUE
-# committed in round 7 plus the 14 round-7 additions (all 33 verified
-# green by the round-7 judge's sf0.01 re-run — certification debt, not
-# correctness risk).  This window is exactly that committed endgame:
-# queue + r7-new + every r8-new entry, with r8 registry growth capped at
-# 17 so the total never exceeds the gate's 50 slots.  After this window
-# certifies, EVERY registry entry has carried a hard driver row at least
-# once; from round 9 on, windows re-rotate oldest certifications plus
-# same-round additions.
+# Round-8 closed the certification endgame: every registry entry now has
+# at least one hard driver-gate green row (cumulative CORRECTNESS_r01-r08).
+# From round 9 on, the committed rotation policy applies: each round's
+# 50-slot window = (all same-round NEW queries) + the entries with the
+# OLDEST first-certification per ``python tools/cert_ledger.py`` (oldest
+# round first, name asc within a round), filled to 50.  Certification age
+# stays bounded at ~7 rounds with zero further bookkeeping.
+#
+# Round-9 window: the stalest pool after r8's gate is exactly the 36 r1 +
+# 14 r2 first-certifications below; _R9_STALEST lists them ledger-ordered
+# and the window takes r9-new first, then as many stalest as fit.
 # ---------------------------------------------------------------------------
 
-_R7_NEW = (
-    # round-7 additions, never in a driver window (judge-green at sf0.01)
-    "events_active_users_sketch",
-    "events_retention_triangle",
-    "events_cuped_adjusted",
-    "corpus_split_leakage_safe",
-    "part_fuzzy_matches",
-    "agg_misra_gries_topk",
-    "events_markov_attribution",
-    "join_range_binned_windows",
-    "multimodal_video_scene_cuts",
-    "compliance_k_anonymity",
-    "agg_median_ci_binomial",
-    "streaming_range_join_ingest",
-    "corpus_raking_weights",
-    "agg_wasserstein_shift",
+_R9_NEW = (
+    # round-9 additions, certified in this round's own window
+    "corpus_decontaminate_semantic",
+    "tokenizer_unigram_lm",
 )
 
-# The 19 never-certified entries the round-7 commitment deferred here.
-_R8_QUEUE = (
-    "quality_profile_columns",
-    "join_size_estimate",
-    "sink_roundtrip_orc",
-    "join_skew_diagnosis",
-    "corpus_quality_ablation_report",
-    "text_readability_scores",
-    "embedding_gram_matrix",
-    "text_sparse_cosine_topk",
-    "compliance_cascade_delete",
-    "geo_nearest_supplier",
-    "text_rake_keyphrases",
-    "layout_zorder_tiles",
-    "audit_scan_provenance",
-    "compaction_bin_packing",
-    "ann_mmr_diverse_topk",
-    "part_reorder_rate",
-    "embedding_isotropy_report",
-    "layout_bucketed_join",
-    "ops_backfill_planner",
+_R9_STALEST = (
+    # 36 r1 certifications (name asc) ...
+    "agg_cube",
+    "agg_distinct",
+    "agg_rollup",
+    "ann_cosine_topk",
+    "argmax_latest_event",
+    "cleaner_company_size",
+    "cleaner_full_stage",
+    "cleaner_salary_parse",
+    "cleaner_scalar_ops",
+    "dedup_exact_docs",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "join_anti_customers_without_orders",
+    "join_cross_region_status",
+    "join_full_outer_nation_stats",
+    "join_left_customer_orders",
+    "join_range_price_band",
+    "join_semi_parts_shipped",
+    "orderby_limit_top_parts",
+    "populator_top_skills_kv",
+    "pricing_summary",
+    "revenue_by_nation",
+    "scalar_case_null",
+    "scalar_date_ops",
+    "scalar_json_props",
+    "scalar_string_ops",
+    "setops_segments",
+    "text_lang_id",
+    "text_quality",
+    "text_stats",
+    "top_skills_by_lang",
+    "top_skills_pivot",
+    "topk_orders_per_customer",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_running_total",
+    # ... then 14 r2 certifications (name asc)
+    "ann_lsh_topk",
+    "csv_source_scan",
+    "dedup_embedding_composed",
+    "dedup_embedding_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_lsh_candidates",
+    "dedup_minhash_signatures",
+    "dedup_near_composed",
+    "dedup_simhash",
+    "html_extract_listing",
+    "html_harvest_links",
+    "multimodal_blob_stats",
+    "point_lookup_customer",
+    "populator_contains_match",
 )
 
-_R8_NEW = (
-    # round-8 additions: certified in THIS round's window so the terminal
-    # state (every registry entry driver-certified >= once) self-sustains.
-    # Growth is capped at 50 - 19 - 14 = 17 entries -- asserted below.
-    # Final round-8 count: 16 new (registry 331 -> 347; window 49 of 50,
-    # backfilled in registry order with one already-certified entry).
-    "join_interval_overlaps",
-    "join_ip_cidr_lookup",
-    "join_scd2_point_in_time",
-    "orders_fifo_allocation",
-    "layout_partition_stats",
-    "layout_range_boundaries",
-    "layout_dpp_prune",
-    "tokenizer_bpe_encode",
-    "graph_label_propagation",
-    "tokenizer_fertility_by_lang",
-    "corpus_dedup_threshold_curve",
-    "sql_recursive_hierarchy",
-    "ml_uplift_qini",
-    "dedup_lsh_tuning_curve",
-    "geo_point_in_rect_join",
-    "multimodal_audio_vad",
-)
-
-# ROUND-8 WINDOW = the committed endgame: the 19-entry queue + all 14
-# round-7 additions + every round-8 addition (growth capped at 17 so the
-# window never exceeds 50).  After this window certifies, EVERY registry
-# entry has carried a hard driver row at least once; from round 9 on the
-# window re-rotates oldest certifications plus same-round additions.
-#
-# r9 POLICY (committed): window = (all r9-new queries) + the stalest
-# first-certifications from ``python tools/cert_ledger.py`` (oldest
-# round first, name asc within a round), filled to 50.  The ledger is
-# computed from the CORRECTNESS_r0N.json files in-repo; as of end of
-# round 8 the stalest pool after this round's gate is the 36 r1 + 14 r2
-# certifications, so r9's window should be r9-new + r1 certs + r2 certs
-# in that order.  This keeps every entry's certification age bounded at
-# ~7 rounds with zero further bookkeeping.
-_DRIVER_WINDOW_FIRST = _R8_QUEUE + _R7_NEW + _R8_NEW
+_DRIVER_WINDOW_FIRST = _R9_NEW + _R9_STALEST[: 50 - len(_R9_NEW)]
 
 def _in_partial_plans_import() -> bool:
     """True when this module body runs inside a CIRCULAR import started by
@@ -7710,14 +7752,15 @@ def _reorder_registry() -> None:
         raise AssertionError(f"priority list names unknown queries: {missing}")
     if len(set(_DRIVER_WINDOW_FIRST)) != len(_DRIVER_WINDOW_FIRST):
         raise AssertionError("duplicate names in priority list")
-    if len(_R8_NEW) > 17:
+    if len(_R9_NEW) > 14:
         raise AssertionError(
-            "r8 registry growth cap exceeded: the 50-slot window must hold "
-            f"19 queue + 14 r7 + all r8-new entries, got {len(_R8_NEW)} new"
+            "r9 registry growth cap exceeded (verdict: <= ~14 new so the "
+            f"stalest r1/r2 rotation keeps pace), got {len(_R9_NEW)} new"
         )
-    if len(_DRIVER_WINDOW_FIRST) > 50:
+    if len(_DRIVER_WINDOW_FIRST) != 50:
         raise AssertionError(
-            f"driver window overflow: {len(_DRIVER_WINDOW_FIRST)} > 50"
+            f"driver window must fill all 50 slots, got "
+            f"{len(_DRIVER_WINDOW_FIRST)}"
         )
     head = set(_DRIVER_WINDOW_FIRST)
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW_FIRST}
@@ -7785,6 +7828,8 @@ from . import llm_round8g  # noqa: E402,F401  (ml_uplift_qini: uplift-model eval
 from . import llm_round8h  # noqa: E402,F401  (dedup_lsh_tuning_curve: measured bands x rows S-curve)
 from . import llm_round8i  # noqa: E402,F401  (geo_point_in_rect_join: 2-D grid containment, the geohash pattern)
 from . import llm_round8j  # noqa: E402,F401  (multimodal_audio_vad: energy-threshold voice activity over WAV bytes)
+from . import llm_round9a  # noqa: E402,F401  (corpus_decontaminate_semantic: cross-corpus SemDeDup-cell probe)
+from . import llm_round9b  # noqa: E402,F401  (tokenizer_unigram_lm: SentencePiece-style EM-prune training)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -187,3 +187,20 @@ def test_global_cumsum_rn_col_shares_pass(frame):
     # one range pass: exactly one range exchange in the plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange rangepartitioning") <= 1
+
+
+def test_exact_rank_values_rejects_non_integral_rank(frame):
+    # A fractional rank expression is a caller bug; the long-cast _ranks
+    # array could otherwise match the truncated rank and return plausible
+    # rows.  The in-plan assert_true must fail the job loudly instead.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    picks = exact_rank_values(
+        frame,
+        ["v", "k"],
+        [lambda n: n / 4],  # double division -> non-integral for n=997
+        rn_col="rn",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        picks.collect()

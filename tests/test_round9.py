@@ -1,0 +1,83 @@
+"""Round-9 semantic pins: semantic decontamination must flag exactly the
+planted paraphrases (full recall, zero organic false positives at the
+0.9 threshold), and the unigram-LM tokenizer must conserve character
+mass, keep the single-char coverage guarantee, and produce genuinely
+multi-character pieces whose Viterbi scores beat the char baseline."""
+
+from __future__ import annotations
+
+from job_datapipeline_spark.plans.llm_round9a import _DECON_SEM_OFFSET
+from job_datapipeline_spark.plans.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def test_semantic_decontam_flags_exactly_planted(spark):
+    df = (
+        REGISTRY["corpus_decontaminate_semantic"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+    )
+    # recall verdict is computed in-plan over ALL planted ids
+    assert df["all_planted_caught"].all()
+    # at the 0.9 threshold the organic corpus (max cosine ~0.51) never
+    # fires: every flag is a planted paraphrase
+    assert df["is_planted"].all()
+    assert (df["vec_id"] >= _DECON_SEM_OFFSET).all()
+    # the paraphrase perturbation moves cosine OFF 1.0 (it is not an
+    # exact copy) but keeps it far above threshold
+    assert (df["max_cos"] >= 0.9).all()
+    assert (df["max_cos"] < 1.0).all()
+
+
+def test_unigram_lm_mass_and_coverage(spark):
+    df = REGISTRY["tokenizer_unigram_lm"].fn(spark, SF_SMOKE).toPandas()
+    # in-plan mass conservation: sum(usage * len(piece)) == corpus chars
+    assert df["mass_conserved"].all()
+    # EM learned real multi-char pieces, not a char fallback
+    multi = df[df["piece"].str.len() >= 2]
+    assert len(multi) > 0
+    # whole words should dominate: the corpus is ~30 repeated word types,
+    # so the best segmentation of a frequent short word is itself once
+    # its substring piece survives pruning
+    assert (multi["piece"].str.len() <= 4).all()
+    # cost is a positive micro-nat (prob < 1 for every piece)
+    assert (df["cost_micro"] > 0).all()
+    # ordering pin: usage desc, piece asc
+    usage = list(df["usage"])
+    assert usage == sorted(usage, reverse=True)
+
+
+def test_unigram_lm_viterbi_is_argmin(spark):
+    """Independent in-test check on one word: the registered plan's dp
+    must assign 'the' a segmentation at least as cheap as any manual
+    alternative under the same final costs."""
+    import itertools
+
+    df = REGISTRY["tokenizer_unigram_lm"].fn(spark, SF_SMOKE).toPandas()
+    costs = dict(zip(df["piece"], df["cost_micro"]))
+    # reconstruct best cost for 'the' from pieces present in the OUTPUT
+    # inventory (pieces with usage > 0); the word itself appears in the
+    # corpus, so its pieces must cover it
+    word = "the"
+
+    def segmentations(w):
+        for cuts in itertools.product([0, 1], repeat=len(w) - 1):
+            parts, start = [], 0
+            for i, c in enumerate(cuts, 1):
+                if c:
+                    parts.append(w[start:i])
+                    start = i
+            parts.append(w[start:])
+            yield parts
+
+    feasible = [
+        sum(costs[p] for p in seg)
+        for seg in segmentations(word)
+        if all(p in costs for p in seg)
+    ]
+    assert feasible, "no segmentation of 'the' from output pieces"
+    # the output's usage-weighted inventory came from the true argmin:
+    # 'the' as one piece must be feasible and minimal iff it is in costs
+    if word in costs:
+        assert min(feasible) == costs[word]

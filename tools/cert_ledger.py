@@ -28,7 +28,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def first_certified() -> dict[str, int]:
     """query name -> earliest round with a hash-green driver row."""
     ledger: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+    paths = glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+    # Sort by the PARSED round number, not the raw filename — lexicographic
+    # order breaks the oldest-first guarantee once round numbers pass two
+    # digits (r10 < r2 as strings), which would skew first_certified().
+    for path in sorted(paths, key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0])):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         rows = json.load(open(path))
         for name, row in rows.items():
@@ -45,8 +49,12 @@ def first_certified() -> dict[str, int]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    from job_datapipeline_spark.plans.queries import REGISTRY
+    from job_datapipeline_spark.plans.queries import (
+        REGISTRY,
+        ensure_registry_order,
+    )
 
+    ensure_registry_order()
     ledger = first_certified()
     aged = sorted(REGISTRY, key=lambda q: (ledger.get(q, 0), q))
     print(f"# {n} stalest certifications (oldest first):")

@@ -1,0 +1,201 @@
+"""Scale-growth measurements for the round-8 heavyweights the round-8
+verdict asked to see measured (its item 6):
+
+1. dedup_lsh_tuning_curve's claim — "adding a config costs one banding
+   pass, never a second signature build" — at 1x and 10x corpus.  The
+   corpus is synthetic with PLANTED near-dup groups of bounded size
+   (growth adds GROUPS, not group size — the blocking discipline the
+   round-8 fuzzy-matching table argues for), so candidate pairs grow
+   ~linearly.  Measured: the one-off signature build, the banding cost
+   of the first config, and the MARGINAL cost of each added config.
+
+2. corpus_dedup_threshold_curve's claim — "adding a threshold costs two
+   aggregate columns, never another similarity join" — at 1x and 10x.
+   Measured: the one-off exact-pair build (PPJoin at the loosest
+   floor), the 5-threshold aggregate pass, and the 10-threshold pass
+   (the marginal per-threshold cost should be ~0).
+
+3. sql_recursive_hierarchy's claim — recursion steps scale with the
+   LOG of the key space, never the row count.  Measured: the decimal-
+   digit recursive walk at fixed rows across key spaces 1e4 / 1e7 /
+   1e10 (depths ~4 / 7 / 10), and at fixed key space across 1M / 10M
+   rows (should be ~linear in rows at constant depth).
+
+Usage: python tools/scale_growth_round9.py
+Prints one JSON line per datapoint with wall seconds (min of 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from job_datapipeline_spark.operators import dedup as _D  # noqa: E402
+from job_datapipeline_spark.session import get_spark  # noqa: E402
+
+N_BASE = 15_000  # 1x corpus size (docs), matching the sf0.1 planted corpus
+LSH_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+THRESHOLDS_5 = tuple(range(500, 1000, 100))
+THRESHOLDS_10 = tuple(range(500, 1000, 50))
+
+
+def build_corpus(spark, n: int):
+    """n docs of 14 salted tokens; every third doc gets a near-dup copy
+    (id + n) with a 3-token tail — groups of <= 2, group count ~ n/3."""
+    tokens = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(13)),
+            lambda i: F.concat(
+                F.lit("w"),
+                ((F.col("id") * 131 + i * 7919) % 50021).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    base = spark.range(n).select(F.col("id").alias("doc_id"), tokens.alias("text"))
+    near = (
+        base.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + n).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
+        )
+    )
+    return base.unionByName(near).localCheckpoint()
+
+
+def timed(fn, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def lsh_curve_points(spark) -> None:
+    for mult in (1, 10):
+        corpus = build_corpus(spark, N_BASE * mult)
+        n_docs = corpus.count()
+        sigs_holder = {}
+
+        def build_sigs():
+            sigs_holder["sigs"] = _D.minhash_signatures(
+                corpus, num_hashes=8
+            ).localCheckpoint()
+
+        t_sigs = timed(build_sigs, runs=1)  # one-off; checkpoint is sticky
+        sigs = sigs_holder["sigs"]
+
+        def curve(k: int):
+            def run():
+                for b, r in LSH_CONFIGS[:k]:
+                    noop(_D.lsh_candidate_pairs(sigs, bands=b, rows_per_band=r))
+            return run
+
+        t1 = timed(curve(1))
+        t4 = timed(curve(4))
+        print(json.dumps({
+            "metric": "lsh_tuning_curve_growth",
+            "corpus_mult": mult,
+            "n_docs": n_docs,
+            "sig_build_sec": t_sigs,
+            "one_config_sec": t1,
+            "four_configs_sec": t4,
+            "marginal_per_config_sec": round((t4 - t1) / 3, 2),
+        }))
+
+
+def threshold_curve_points(spark) -> None:
+    for mult in (1, 10):
+        corpus = build_corpus(spark, N_BASE * mult)
+        pairs_holder = {}
+
+        def build_pairs():
+            pairs_holder["p"] = _D.jaccard_pairs(
+                corpus, threshold=0.5
+            ).localCheckpoint()
+
+        t_pairs = timed(build_pairs, runs=1)
+        pairs = pairs_holder["p"]
+        n_pairs = pairs.count()
+
+        def agg(thresholds):
+            def run():
+                aggs = []
+                for t in thresholds:
+                    hit = F.col("jaccard") >= t / 1000.0
+                    aggs.append(F.count_if(hit).alias(f"np_{t}"))
+                    aggs.append(
+                        F.count_distinct(
+                            F.when(hit, F.col("id_b"))
+                        ).alias(f"nd_{t}")
+                    )
+                noop(pairs.agg(*aggs))
+            return run
+
+        t5 = timed(agg(THRESHOLDS_5))
+        t10 = timed(agg(THRESHOLDS_10))
+        print(json.dumps({
+            "metric": "threshold_curve_growth",
+            "corpus_mult": mult,
+            "n_pairs": n_pairs,
+            "pair_build_sec": t_pairs,
+            "agg_5_thresholds_sec": t5,
+            "agg_10_thresholds_sec": t10,
+            "marginal_per_threshold_sec": round((t10 - t5) / 5, 3),
+        }))
+
+
+def recursion_ladder(spark) -> None:
+    for n_rows, keyspace in (
+        (1_000_000, 10_000),
+        (1_000_000, 10_000_000),
+        (1_000_000, 10_000_000_000),
+        (10_000_000, 10_000_000),
+    ):
+        spark.range(n_rows).select(
+            ((F.col("id") * 2654435761) % keyspace).alias("pk")
+        ).localCheckpoint().createOrReplaceTempView("_r9_hier_keys")
+
+        def run():
+            noop(spark.sql("""
+                WITH RECURSIVE walk(pk, anc, depth) AS (
+                    SELECT pk, pk, 0 FROM _r9_hier_keys
+                    UNION ALL
+                    SELECT pk, anc div 10, depth + 1 FROM walk
+                    WHERE anc >= 10
+                )
+                SELECT depth, count(*) AS n, count(DISTINCT anc) AS n_roots
+                FROM walk WHERE anc < 10 GROUP BY depth
+            """))
+
+        import math
+        print(json.dumps({
+            "metric": "recursive_hierarchy_ladder",
+            "n_rows": n_rows,
+            "keyspace": keyspace,
+            "max_depth": int(math.log10(keyspace)),
+            "wall_sec": timed(run),
+        }))
+
+
+def main() -> None:
+    spark = get_spark("scale-growth-round9")
+    lsh_curve_points(spark)
+    threshold_curve_points(spark)
+    recursion_ladder(spark)
+
+
+if __name__ == "__main__":
+    main()
