@@ -56,6 +56,12 @@ from .queries import register
         "checkpoint-chained pagerank/k-core/LPA iterations.",
 )
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The walk materializes |part| x (depth + 1) rows; Spark's default
+    # cteRecursionRowLimit (1M) is a runaway-recursion safety valve, not
+    # a scale budget — at sf1 the 200k-part x 7-level walk already
+    # exceeds it (found by tools/scale_growth_round9.py's depth ladder).
+    # Depth stays bounded by the level limit (100); raise only the row cap.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
     table(spark, sf_dir, "part").select("p_partkey").createOrReplaceTempView(
         "_r8_hier_part"
     )

@@ -47,13 +47,18 @@ THRESHOLDS_10 = tuple(range(500, 1000, 50))
 
 def build_corpus(spark, n: int):
     """n docs of 14 salted tokens; every third doc gets a near-dup copy
-    (id + n) with a 3-token tail — groups of <= 2, group count ~ n/3."""
+    (id + n) with a 3-token tail — groups of <= 2, group count ~ n/3.
+    Tokens are xxhash64-mixed per (doc, position): a LINEAR (id*a + i*b)
+    recipe gives every doc the same token stride, so docs whose bases
+    differ by a small stride multiple share shifted shingle runs — at
+    150k docs that manufactured ~3M accidental near-dup pairs and broke
+    the linear-growth measurement this harness exists to make."""
     tokens = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(13)),
             lambda i: F.concat(
                 F.lit("w"),
-                ((F.col("id") * 131 + i * 7919) % 50021).cast("string"),
+                (F.abs(F.xxhash64(F.col("id"), i)) % 1000000).cast("string"),
             ),
         ),
         " ",
@@ -158,6 +163,9 @@ def threshold_curve_points(spark) -> None:
 
 
 def recursion_ladder(spark) -> None:
+    # total walk rows = n_rows x (depth + 1); the 1M default row cap is a
+    # safety valve, not a scale claim — raise it for the ladder
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 200_000_000)
     for n_rows, keyspace in (
         (1_000_000, 10_000),
         (1_000_000, 10_000_000),
@@ -190,11 +198,163 @@ def recursion_ladder(spark) -> None:
         }))
 
 
+def unigram_fold_ladder(spark) -> None:
+    """The round-9 unigram-LM claim: the Viterbi `aggregate` fold is
+    linear in WORD TYPES (the testdata corpus has only 31 — this ladder
+    proves the shape on realistic vocabulary sizes).  Synthetic word
+    types of length 6-12 chars; vocabulary = all chars + 200 frequent
+    substrings.  Measured: one full segmentation pass (edge join +
+    fold + usage aggregate) at 10k / 100k / 1M word types."""
+    from job_datapipeline_spark.plans.llm_round9b import _segment
+
+    for n_types in (10_000, 100_000, 1_000_000):
+        word = F.concat(
+            F.lit("w"),
+            ((F.col("id") * 7919) % 97).cast("string"),
+            F.lit("x"),
+            ((F.col("id") * 104729) % 9973).cast("string"),
+        )
+        words = (
+            spark.range(n_types)
+            .select(
+                word.alias("word"),
+                ((F.col("id") % 1000) + 1).cast("bigint").alias("c"),
+            )
+            .groupBy("word")
+            .agg(F.max("c").alias("c"))
+            .localCheckpoint()
+        )
+        n_real = words.count()
+        cand = (
+            words.select(
+                "word", "c",
+                F.explode(F.sequence(F.lit(1), F.length("word"))).alias("j"),
+            )
+            .select(
+                "word", "c", "j",
+                F.explode(
+                    F.sequence(F.lit(1), F.least(F.lit(4), F.col("j")))
+                ).alias("k"),
+            )
+            .withColumn("piece", F.expr("substring(word, j - k + 1, k)"))
+            .localCheckpoint()
+        )
+        seed = cand.groupBy("piece").agg(F.sum("c").cast("bigint").alias("cnt"))
+        vocab = (
+            seed.filter(F.length("piece") == 1)
+            .unionByName(
+                seed.filter(F.length("piece") >= 2)
+                .orderBy(F.desc("cnt"), F.asc("piece"))
+                .limit(200)
+            )
+            .select("piece", F.lit(1000).cast("long").alias("cost"))
+            .localCheckpoint()
+        )
+
+        def run():
+            best = _segment(cand, vocab)
+            noop(
+                best.select("c", F.explode(F.split("seg", " ")).alias("p"))
+                .groupBy("p")
+                .agg(F.sum("c").alias("u"))
+            )
+
+        print(json.dumps({
+            "metric": "unigram_viterbi_fold_ladder",
+            "n_word_types": n_real,
+            "wall_sec": timed(run),
+        }))
+
+
+def semantic_decontam_ladder(spark) -> None:
+    """The round-9 semantic-decontamination claim: probe cost scales
+    with the EVAL side and per-cell occupancy, never train x eval.
+    Synthetic 64-dim unit-ish vectors; 64 centroids; eval fixed at 2k
+    vectors probing nprobe=3 cells while the training corpus grows
+    10x / 100x.  Measured: assignment + cell-join + rerank wall."""
+    from pyspark.sql import Window
+
+    from job_datapipeline_spark.functions.vectors import dot, l2_distance, norm
+
+    def vecs(n, salt):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    ((F.col("id") * 2654435761 + i * 40503 + salt) % 2000)
+                    .cast("double") / 1000.0 - 1.0
+                ),
+            ).alias("emb"),
+        )
+
+    eval_set = vecs(2_000, 7).localCheckpoint()
+    for n_train in (100_000, 1_000_000):
+        train = vecs(n_train, 0).localCheckpoint()
+        cents = F.broadcast(
+            vecs(64, 0).select(
+                F.col("vec_id").alias("_cid"), F.col("emb").alias("_cent")
+            )
+        )
+        w = Window.partitionBy("side", "vec_id").orderBy(
+            F.asc("_d"), F.asc("_cid")
+        )
+
+        def run():
+            tagged = train.select(
+                F.lit("t").alias("side"), "vec_id", "emb"
+            ).unionByName(
+                eval_set.select(F.lit("e").alias("side"), "vec_id", "emb")
+            )
+            assigned = (
+                tagged.join(cents)
+                .withColumn(
+                    "_d", F.round(l2_distance(F.col("emb"), F.col("_cent")), 6)
+                )
+                .withColumn("_r", F.row_number().over(w))
+                .filter(
+                    ((F.col("side") == "t") & (F.col("_r") == 1))
+                    | ((F.col("side") == "e") & (F.col("_r") <= 3))
+                )
+                .select("side", "vec_id", "emb", F.col("_cid").alias("cell"))
+            )
+            t = assigned.filter(F.col("side") == "t").select(
+                "vec_id", F.col("emb").alias("_vt"),
+                norm(F.col("emb")).alias("_nt"), "cell",
+            )
+            e = assigned.filter(F.col("side") == "e").select(
+                F.col("emb").alias("_ve"), norm(F.col("emb")).alias("_ne"),
+                "cell",
+            )
+            cos = dot(F.col("_vt"), F.col("_ve")) / (F.col("_nt") * F.col("_ne"))
+            noop(
+                t.join(e, "cell")
+                .filter(F.round(cos, 6) >= 0.9)
+                .groupBy("vec_id")
+                .agg(F.count("*").alias("hits"))
+            )
+
+        print(json.dumps({
+            "metric": "semantic_decontam_ladder",
+            "n_train": n_train,
+            "n_eval": 2_000,
+            "wall_sec": timed(run),
+        }))
+
+
 def main() -> None:
     spark = get_spark("scale-growth-round9")
-    lsh_curve_points(spark)
-    threshold_curve_points(spark)
-    recursion_ladder(spark)
+    only = set(sys.argv[1:])
+    sections = {
+        "lsh": lsh_curve_points,
+        "threshold": threshold_curve_points,
+        "recursion": recursion_ladder,
+        "unigram": unigram_fold_ladder,
+        "decontam": semantic_decontam_ladder,
+    }
+    for name, fn in sections.items():
+        if not only or name in only:
+            fn(spark)
 
 
 if __name__ == "__main__":
