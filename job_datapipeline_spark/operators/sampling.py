@@ -429,3 +429,32 @@ def pack_sequences(
     return out.withColumn(
         "seq", F.floor(start / F.lit(capacity)).cast("bigint")
     ).drop("_draw")
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs_milli_col: str,
+    key_col: str = "doc_id",
+    salt: str = "ep1",
+) -> DataFrame:
+    """Replicate each row to realize a per-row epoch multiplier given in
+    integer MILLI-epochs (1000 = exactly one copy) — the upsampling half
+    of a pretraining data recipe (mixture_sample only thins; repeating a
+    small high-quality source for 2-4 epochs needs this).
+
+    Every row gets ``floor(e/1000)`` full copies plus one more iff its
+    16-bit md5 draw clears the fractional remainder: ``draw * 1000 <
+    (e % 1000) * 65536`` — cross-multiplied integers, so the realized
+    copy set is bit-identical on any engine.  Adds a ``copy`` index
+    (0-based).  Map-side only: ``array_repeat`` + ``posexplode``, output
+    rows bounded by the epoch cap the caller applied to the multiplier —
+    no shuffle, no window, safe at any corpus size.
+    """
+    e = F.col(epochs_milli_col).cast("bigint")
+    draw_int = F.conv(_draw(F.col(key_col), salt), 16, 10).cast("bigint")
+    extra = (draw_int * 1000 < (e % 1000) * (16 ** _HEX_DIGITS)).cast("int")
+    n_copies = (F.expr(f"{epochs_milli_col} div 1000").cast("int") + extra)
+    return df.select(
+        "*",
+        F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias("copy", "_one"),
+    ).drop("_one")

@@ -7665,6 +7665,7 @@ _R9_NEW = (
     # round-9 additions, certified in this round's own window
     "corpus_decontaminate_semantic",
     "tokenizer_unigram_lm",
+    "corpus_epoch_upsample",
 )
 
 _R9_STALEST = (
@@ -7830,6 +7831,7 @@ from . import llm_round8i  # noqa: E402,F401  (geo_point_in_rect_join: 2-D grid 
 from . import llm_round8j  # noqa: E402,F401  (multimodal_audio_vad: energy-threshold voice activity over WAV bytes)
 from . import llm_round9a  # noqa: E402,F401  (corpus_decontaminate_semantic: cross-corpus SemDeDup-cell probe)
 from . import llm_round9b  # noqa: E402,F401  (tokenizer_unigram_lm: SentencePiece-style EM-prune training)
+from . import llm_round9c  # noqa: E402,F401  (corpus_epoch_upsample: epoch-capped repeat mixture)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

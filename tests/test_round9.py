@@ -81,3 +81,25 @@ def test_unigram_lm_viterbi_is_argmin(spark):
     # 'the' as one piece must be feasible and minimal iff it is in costs
     if word in costs:
         assert min(feasible) == costs[word]
+
+
+def test_epoch_upsample_caps_and_realization(spark):
+    df = REGISTRY["corpus_epoch_upsample"].fn(spark, SF_SMOKE).toPandas()
+    # the cap is a hard ceiling on the multiplier
+    assert (df["epochs_milli"] <= 2500).all()
+    assert (df.loc[df["cap_hit"], "epochs_milli"] == 2500).all()
+    # uncapped languages: target met to within the fractional draw
+    # (realized tokens ~ epochs * available; the md5 draw decides the
+    # last fractional copy, so allow one epoch-fraction of slack)
+    for _, r in df.iterrows():
+        want = r["avail_tokens"] * r["epochs_milli"] / 1000.0
+        assert abs(r["tokens_out"] - want) <= 0.25 * r["avail_tokens"] + 1, (
+            r["lang"], r["tokens_out"], want,
+        )
+    # capped languages realize LESS than target — that is what the cap is
+    capped = df[df["cap_hit"]]
+    if len(capped):
+        assert (capped["tokens_out"] < capped["target_tokens"]).all()
+    # at least one copy of everything: epochs >= 1 languages keep all docs
+    full = df[df["epochs_milli"] >= 1000]
+    assert (full["n_docs_out"] > 0).all()
