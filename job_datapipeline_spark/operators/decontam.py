@@ -20,10 +20,70 @@ operators/dedup.py (near-dup removal) and operators/sampling.py (splits).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize, word_ngrams
+from ..functions.vectors import dot, l2_distance, norm
+
+# The semantic (embedding-space) twin's knobs — shared by
+# corpus_decontaminate_semantic and corpus_decontaminate_coverage.
+SEM_THRESHOLD = 0.9
+SEM_CENTROID_IDS = (1, 11, 21, 31, 41, 51, 61, 71)
+SEM_NPROBE = 3  # eval-side multi-probe: nearest cells searched
+
+
+def cell_probe_flags(
+    train: DataFrame,
+    eval_set: DataFrame,
+    cents: DataFrame,
+    nprobe: int = SEM_NPROBE,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """The cross-corpus cell-probe device: assign the training corpus to
+    its single nearest quantizer cell and every eval vector to its
+    ``nprobe`` nearest (IVF multi-probe), join on the cell key, rerank
+    with exact cosine, and return per-training-doc flags
+    (vec_id, n_bench_hits, max_cos).  Inputs: (vec_id, emb double[])
+    frames and a (``_cid``, ``_cent``) centroid dim.
+
+    Quantizer assignment is the engine-replayable broadcast argmin of
+    dedup.semantic_prune (rounded L2, centroid-id ties); the assignment
+    frame is materialized once — at 100 TB it IS the
+    write-partitioned-by-cell layout, and only the tiny eval side pays
+    the probe fan-out."""
+    tagged = train.select(F.lit("t").alias("side"), "vec_id", "emb").unionByName(
+        eval_set.select(F.lit("e").alias("side"), "vec_id", "emb")
+    )
+    w = Window.partitionBy("side", "vec_id").orderBy(F.asc("_d"), F.asc("_cid"))
+    assigned = (
+        tagged.join(F.broadcast(cents))
+        .withColumn("_d", F.round(l2_distance(F.col("emb"), F.col("_cent")), 6))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(
+            ((F.col("side") == "t") & (F.col("_r") == 1))
+            | ((F.col("side") == "e") & (F.col("_r") <= nprobe))
+        )
+        .select("side", "vec_id", "emb", F.col("_cid").alias("cell"))
+        .localCheckpoint()
+    )
+    t = assigned.filter(F.col("side") == "t").select(
+        "vec_id", F.col("emb").alias("_vt"), norm(F.col("emb")).alias("_nt"), "cell"
+    )
+    e = assigned.filter(F.col("side") == "e").select(
+        F.col("emb").alias("_ve"), norm(F.col("emb")).alias("_ne"), "cell"
+    )
+    cos = F.round(dot(F.col("_vt"), F.col("_ve")) / (F.col("_nt") * F.col("_ne")), 6)
+    return (
+        t.join(e, "cell")  # candidates within shared cells ONLY
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max("_cos").alias("max_cos"),
+        )
+    )
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str) -> DataFrame:

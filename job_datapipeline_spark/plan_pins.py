@@ -62,6 +62,13 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "flag groupBy + final sort); every exchange moves assignment- or "
         "verdict-sized rows, never train x eval — the candidate stage "
         "itself is the cell-key equi-join"),
+    "corpus_decontaminate_coverage": (13,
+        "two production devices in one plan: the gram-keyed overlap join "
+        "(gram explode + distinct + per-doc flag agg on both sides) plus "
+        "the cell-probe flag groupBy, three class-count aggregates and "
+        "the 3-row report joins — every exchange moves gram-, flag- or "
+        "report-sized rows over the checkpointed base scans, never a "
+        "train x eval pair space"),
     "tokenizer_unigram_lm": (13,
         "final-pass lineage only (the EM rounds sit behind per-round "
         "vocab checkpoints): the Viterbi edge groupBy, the usage "

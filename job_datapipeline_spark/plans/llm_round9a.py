@@ -40,17 +40,19 @@ partition-local with only the (tiny) eval side shuffled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.vectors import dot, l2_distance, norm
+from ..operators.decontam import (
+    SEM_CENTROID_IDS as _DECON_SEM_CENTROIDS,
+    SEM_NPROBE as _DECON_SEM_NPROBE,
+    SEM_THRESHOLD as _DECON_SEM_THRESHOLD,
+    cell_probe_flags,
+)
 from .queries import register
 
-_DECON_SEM_THRESHOLD = 0.9
-_DECON_SEM_CENTROIDS = (1, 11, 21, 31, 41, 51, 61, 71)
 _DECON_SEM_OFFSET = 10_000
-_DECON_SEM_NPROBE = 3  # eval-side multi-probe: nearest cells searched
 
 _CAST_D = "[CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]"
 _SEM_L2_D = (
@@ -172,43 +174,7 @@ def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.col("vec_id").alias("_cid"), as_double.alias("_cent"))
     )
-    tagged = train.select(F.lit("t").alias("side"), "vec_id", "emb").unionByName(
-        eval_set.select(F.lit("e").alias("side"), "vec_id", "emb")
-    )
-    # Quantizer assignment: broadcast centroid dim, per-(side, id) argmin
-    # on rounded L2 with centroid-id ties — the engine-replayable
-    # training-free quantizer shared with dedup_semantic_prune.  Two
-    # consumers (probe sides) -> materialize once; at 100 TB this is the
-    # write-partitioned-by-cell step.
-    w = Window.partitionBy("side", "vec_id").orderBy(F.asc("_d"), F.asc("_cid"))
-    assigned = (
-        tagged.join(F.broadcast(cents))
-        .withColumn("_d", F.round(l2_distance(F.col("emb"), F.col("_cent")), 6))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(
-            ((F.col("side") == "t") & (F.col("_r") == 1))
-            | ((F.col("side") == "e") & (F.col("_r") <= _DECON_SEM_NPROBE))
-        )
-        .select("side", "vec_id", "emb", F.col("_cid").alias("cell"))
-        .localCheckpoint()
-    )
-    t = assigned.filter(F.col("side") == "t").select(
-        "vec_id", F.col("emb").alias("_vt"), norm(F.col("emb")).alias("_nt"), "cell"
-    )
-    e = assigned.filter(F.col("side") == "e").select(
-        F.col("emb").alias("_ve"), norm(F.col("emb")).alias("_ne"), "cell"
-    )
-    cos = F.round(dot(F.col("_vt"), F.col("_ve")) / (F.col("_nt") * F.col("_ne")), 6)
-    flags = (
-        t.join(e, "cell")  # candidates within shared cells ONLY
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= _DECON_SEM_THRESHOLD)
-        .groupBy("vec_id")
-        .agg(
-            F.count("*").alias("n_bench_hits"),
-            F.max("_cos").alias("max_cos"),
-        )
-    )
+    flags = cell_probe_flags(train, eval_set, cents)
     n_planted = emb.filter(F.col("vec_id") % 20 == 3).agg(
         F.count("*").alias("_n_planted")
     )

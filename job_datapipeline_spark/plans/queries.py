@@ -7666,6 +7666,7 @@ _R9_NEW = (
     "corpus_decontaminate_semantic",
     "tokenizer_unigram_lm",
     "corpus_epoch_upsample",
+    "corpus_decontaminate_coverage",
 )
 
 _R9_STALEST = (
@@ -7832,6 +7833,7 @@ from . import llm_round8j  # noqa: E402,F401  (multimodal_audio_vad: energy-thre
 from . import llm_round9a  # noqa: E402,F401  (corpus_decontaminate_semantic: cross-corpus SemDeDup-cell probe)
 from . import llm_round9b  # noqa: E402,F401  (tokenizer_unigram_lm: SentencePiece-style EM-prune training)
 from . import llm_round9c  # noqa: E402,F401  (corpus_epoch_upsample: epoch-capped repeat mixture)
+from . import llm_round9d  # noqa: E402,F401  (corpus_decontaminate_coverage: method contingency table)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -103,3 +103,23 @@ def test_epoch_upsample_caps_and_realization(spark):
     # at least one copy of everything: epochs >= 1 languages keep all docs
     full = df[df["epochs_milli"] >= 1000]
     assert (full["n_docs_out"] > 0).all()
+
+
+def test_decontam_coverage_contingency(spark):
+    df = (
+        REGISTRY["corpus_decontaminate_coverage"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("planted_type")
+    )
+    assert df["matches_expectation"].all()
+    # the whole point of the table: the paraphrase class separates the
+    # methods — n-gram catches none of it, the semantic probe all of it
+    rev = df.loc["word_reversed"]
+    assert rev["ngram_caught"] == 0
+    assert rev["semantic_caught"] == rev["n_docs"]
+    verb = df.loc["verbatim_tail"]
+    assert verb["ngram_caught"] == verb["n_docs"]
+    assert verb["semantic_caught"] == verb["n_docs"]
+    # semantic specificity: zero organic hits at the 0.9 threshold
+    assert df.loc["organic", "semantic_caught"] == 0
