@@ -176,7 +176,11 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "partial agg first"),
     "causal_matched_cohort": (10,
         "one ordered_neighbor_carry pass over the customer dim; orders "
-        "collapses in one outcome partial agg first"),
+        "collapses in one outcome partial agg first. The r9 full audit "
+        "measured 9 on unchanged code (audit-context drift, the same "
+        "oscillation the r8 market-basket refresh hit in the other "
+        "direction); the pin stays at the measured MAX since it is an "
+        "upper bound"),
     "orders_lorenz_curve": (5,
         "the 10-row decile frame is MATERIALIZED (localCheckpoint) "
         "before the triangular cumulative and the total — previously "
