@@ -62,6 +62,13 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "flag groupBy + final sort); every exchange moves assignment- or "
         "verdict-sized rows, never train x eval — the candidate stage "
         "itself is the cell-key equi-join"),
+    "text_boilerplate_lines": (10,
+        "the line document-frequency aggregate (two-phase on md5(line) "
+        "hashes), the 1-row corpus count, the furniture broadcast-back, "
+        "the per-language report aggregate and its body-mass join — "
+        "every exchange moves hash- or report-sized rows over the one "
+        "checkpointed page scan; the corpus-sized df aggregate "
+        "partial-combines map-side"),
     "corpus_decontaminate_coverage": (13,
         "two production devices in one plan: the gram-keyed overlap join "
         "(gram explode + distinct + per-doc flag agg on both sides) plus "

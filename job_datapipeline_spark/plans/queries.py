@@ -7667,6 +7667,7 @@ _R9_NEW = (
     "tokenizer_unigram_lm",
     "corpus_epoch_upsample",
     "corpus_decontaminate_coverage",
+    "text_boilerplate_lines",
 )
 
 _R9_STALEST = (
@@ -7834,6 +7835,7 @@ from . import llm_round9a  # noqa: E402,F401  (corpus_decontaminate_semantic: cr
 from . import llm_round9b  # noqa: E402,F401  (tokenizer_unigram_lm: SentencePiece-style EM-prune training)
 from . import llm_round9c  # noqa: E402,F401  (corpus_epoch_upsample: epoch-capped repeat mixture)
 from . import llm_round9d  # noqa: E402,F401  (corpus_decontaminate_coverage: method contingency table)
+from . import llm_round9e  # noqa: E402,F401  (text_boilerplate_lines: corpus-frequency furniture filter)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -123,3 +123,23 @@ def test_decontam_coverage_contingency(spark):
     assert verb["semantic_caught"] == verb["n_docs"]
     # semantic specificity: zero organic hits at the 0.9 threshold
     assert df.loc["organic", "semantic_caught"] == 0
+
+
+def test_boilerplate_lines_surgical(spark):
+    df = (
+        REGISTRY["text_boilerplate_lines"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("lang")
+    )
+    # every organic body survives byte-exactly, in every language
+    assert df["bodies_intact"].all()
+    # furniture was actually found and removed everywhere (the banner
+    # rides every 4th doc regardless of language)
+    assert (df["lines_removed"] > 0).all()
+    # english pages carry banner AND footer -> lowest retention
+    assert df.loc["en", "retained_permille"] == df["retained_permille"].min()
+    # chars_after + removed == before (no line partially removed)
+    assert (
+        (df["chars_before"] - df["chars_after"]) > 0
+    ).all()
