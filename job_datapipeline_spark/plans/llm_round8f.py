@@ -60,12 +60,21 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cteRecursionRowLimit (1M) is a runaway-recursion safety valve, not
     # a scale budget — at sf1 the 200k-part x 7-level walk already
     # exceeds it (found by tools/scale_growth_round9.py's depth ladder).
-    # Depth stays bounded by the level limit (100); raise only the row cap.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
-    table(spark, sf_dir, "part").select("p_partkey").createOrReplaceTempView(
+    # Depth stays bounded by the level limit (100); raise only the row cap
+    # — and ONLY for this query: the limit is read at EXECUTION time of
+    # the lazy frame, so a set-and-restore around the builder would undo
+    # the raise before the recursion runs, while a bare set leaks into
+    # the shared bench/gate session and strips every later recursive CTE
+    # of its runaway valve (r9 verdict item 6).  A child newSession()
+    # shares the SparkContext (no new JVM state) but carries its own
+    # SQLConf and temp-view catalog, so the raise and the temp view both
+    # stay scoped to this query's plan.
+    sub = spark.newSession()
+    sub.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
+    table(sub, sf_dir, "part").select("p_partkey").createOrReplaceTempView(
         "_r8_hier_part"
     )
-    return spark.sql("""
+    return sub.sql("""
         WITH RECURSIVE walk(pk, anc, depth) AS (
             SELECT p_partkey, p_partkey, 0 FROM _r8_hier_part
             UNION ALL

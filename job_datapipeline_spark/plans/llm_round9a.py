@@ -52,7 +52,12 @@ from ..operators.decontam import (
 )
 from .queries import register
 
-_DECON_SEM_OFFSET = 10_000
+# Offset for planted (re-inserted) eval ids.  1e6 matches the text-side
+# convention and gives ~500x headroom over sf0.1's max vec_id (1999) —
+# the previous 1e4 had only ~5x, so a modestly larger embeddings table
+# would silently spill verbatim ids into foreign id ranges (r9 ADVICE).
+# The in-plan guard below still asserts the precondition outright.
+_DECON_SEM_OFFSET = 1_000_000
 
 _CAST_D = "[CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]"
 _SEM_L2_D = (
@@ -157,12 +162,27 @@ def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame
     eval_set = emb.filter(F.col("vec_id") % 10 == 3).select(
         "vec_id", as_double.alias("emb")
     )
+    # In-plan precondition guard: is_planted below decodes planted-ness as
+    # vec_id >= OFFSET, so every SOURCE id must sit below the offset — an
+    # embeddings table violating that would silently misclassify instead
+    # of failing.  assert_true folded into the consumed vec_id projection
+    # (one long comparison per row) fails the job loudly.
+    def _below_offset(c):
+        chk = F.assert_true(
+            c < F.lit(_DECON_SEM_OFFSET),
+            F.lit(
+                "corpus_decontaminate_semantic: source vec_id >= planted-id "
+                f"offset {_DECON_SEM_OFFSET} — raise _DECON_SEM_OFFSET"
+            ),
+        )
+        return F.when(chk.isNull(), c)
+
     train = (
         emb.filter(F.col("vec_id") % 10 != 3)
-        .select("vec_id", as_double.alias("emb"))
+        .select(_below_offset(F.col("vec_id")).alias("vec_id"), as_double.alias("emb"))
         .unionByName(
             emb.filter(F.col("vec_id") % 20 == 3).select(
-                (F.col("vec_id") + _DECON_SEM_OFFSET).alias("vec_id"),
+                (_below_offset(F.col("vec_id")) + _DECON_SEM_OFFSET).alias("vec_id"),
                 perturbed.alias("emb"),
             )
         )

@@ -25,7 +25,7 @@ Each row carries an in-plan ``matches_expectation`` verdict; the oracle
 hash pins the whole contingency table cross-engine.  documents.doc_id
 and embeddings.vec_id share the same key space in the testdata, so each
 planted text has a planted embedding twin (offsets 3e5/4e5 text-side,
-1e4/2e4 vector-side).
+1e6/2e6 vector-side).
 
 Reference parity: none (the reference has neither n-grams-at-scale nor
 embeddings).  Scale shape: the n-gram side is the corpus_decontaminate
@@ -48,8 +48,14 @@ from .queries import _DECON_N, register
 _COV_TAIL = " qq xq zq"
 _COV_T_VERBATIM = 300_000   # text-side id offsets
 _COV_T_REVERSED = 400_000
-_COV_V_VERBATIM = 10_000    # vector-side id offsets
-_COV_V_REVERSED = 20_000
+# Vector-side id offsets: match the text side's 1e6-scale convention —
+# the previous 1e4/2e4 had only ~5x headroom over sf0.1's max vec_id, so
+# an embeddings table with >=10_003 ids would spill verbatim ids into the
+# word_reversed class range and collide with reversed ids (r9 ADVICE);
+# the per-(side,vec_id) window in cell_probe_flags would then silently
+# drop one train vector.  The in-plan guard asserts the precondition.
+_COV_V_VERBATIM = 1_000_000
+_COV_V_REVERSED = 2_000_000
 
 _COV_CAST = "[CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]"
 _COV_L2 = (
@@ -247,18 +253,36 @@ def corpus_decontaminate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     ev = emb.filter(F.col("vec_id") % 10 == 3)
+
+    # In-plan precondition guard: v_class below decodes the planted class
+    # from id RANGES ([1e6, 2e6) verbatim, [2e6, ..) reversed), so every
+    # SOURCE id must sit below the first offset — a larger embeddings
+    # table would otherwise spill one class into the next and silently
+    # drop a train vector in cell_probe_flags' per-(side,vec_id) window
+    # (r9 ADVICE).  assert_true folded into the consumed vec_id
+    # projection (one long comparison per row) fails the job loudly.
+    def _below_offset(c):
+        chk = F.assert_true(
+            c < F.lit(_COV_V_VERBATIM),
+            F.lit(
+                "corpus_decontaminate_coverage: source vec_id >= planted-id "
+                f"offset {_COV_V_VERBATIM} — raise _COV_V_* offsets"
+            ),
+        )
+        return F.when(chk.isNull(), c)
+
     trainv = (
         emb.filter(F.col("vec_id") % 10 != 3)
-        .select("vec_id", as_double.alias("emb"))
+        .select(_below_offset(F.col("vec_id")).alias("vec_id"), as_double.alias("emb"))
         .unionByName(
             ev.select(
-                (F.col("vec_id") + _COV_V_VERBATIM).alias("vec_id"),
+                (_below_offset(F.col("vec_id")) + _COV_V_VERBATIM).alias("vec_id"),
                 perturb(1.0).alias("emb"),
             )
         )
         .unionByName(
             ev.select(
-                (F.col("vec_id") + _COV_V_REVERSED).alias("vec_id"),
+                (_below_offset(F.col("vec_id")) + _COV_V_REVERSED).alias("vec_id"),
                 perturb(-1.0).alias("emb"),
             )
         )

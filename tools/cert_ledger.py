@@ -1,12 +1,19 @@
-"""Certification ledger: for every registry query, the earliest round
+"""Certification ledger: for every registry query, the LATEST round
 whose driver gate (CORRECTNESS_r0N.json) recorded it hash-green.
 
 This is the input to the round-9+ window policy committed in
-plans/queries.py: once round 8's window closes the certification
+plans/queries.py: once round 8's window closed the certification
 endgame (every entry certified at least once), each later round's
-50-slot window should hold the round's NEW queries plus the entries
-with the OLDEST first-certification — re-certifying the stalest driver
-signal first, so certification age stays bounded across the registry.
+50-slot window holds the round's NEW queries, then any certified query
+whose code CHANGED since its last driver row (the changed-code lane),
+then the entries with the OLDEST last-certification — re-certifying
+the stalest driver signal first, so certification age stays bounded
+across the registry.
+
+Tracking the LATEST green round (not the first) is what makes this a
+rotation: the round-9 verdict found that a first-certification ledger
+re-picks the same 50 entries forever because re-certified entries keep
+their original age (VERDICT.md r9, defect 1).
 
 Usage: python tools/cert_ledger.py [N]
 Prints the N (default 50) stalest entries, oldest first, then a
@@ -25,13 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def first_certified() -> dict[str, int]:
-    """query name -> earliest round with a hash-green driver row."""
+def last_certified() -> dict[str, int]:
+    """query name -> latest round with a hash-green driver row."""
     ledger: dict[str, int] = {}
     paths = glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
     # Sort by the PARSED round number, not the raw filename — lexicographic
-    # order breaks the oldest-first guarantee once round numbers pass two
-    # digits (r10 < r2 as strings), which would skew first_certified().
+    # order breaks once round numbers pass two digits (r10 < r2 as strings).
     for path in sorted(paths, key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0])):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         rows = json.load(open(path))
@@ -42,7 +48,7 @@ def first_certified() -> dict[str, int]:
                 row.get("rows_match") and row.get("schema_match")
                 and row.get("hash_match") is None
             )
-            if green and name not in ledger:
+            if green:
                 ledger[name] = rnd
     return ledger
 
@@ -55,7 +61,7 @@ def main() -> None:
     )
 
     ensure_registry_order()
-    ledger = first_certified()
+    ledger = last_certified()
     aged = sorted(REGISTRY, key=lambda q: (ledger.get(q, 0), q))
     print(f"# {n} stalest certifications (oldest first):")
     for name in aged[:n]:
@@ -63,7 +69,7 @@ def main() -> None:
     hist: dict[int, int] = {}
     for name in REGISTRY:
         hist[ledger.get(name, 0)] = hist.get(ledger.get(name, 0), 0) + 1
-    print("\n# first-certified histogram (0 = never):")
+    print("\n# last-certified histogram (0 = never):")
     for rnd in sorted(hist):
         print(f"round {rnd}: {hist[rnd]}")
 
