@@ -130,6 +130,148 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    out_rank: int,
+    vec_col: str = "_v",
+) -> DataFrame:
+    """Nearest-centroid assignment: each row of ``df`` joined (broadcast)
+    against the centroid frame ``cents`` (columns ``cid``, ``_cent``),
+    keeping its ``out_rank`` nearest cells by L2 (rounded to 6 decimals
+    for cross-engine reproducibility, ties by centroid id).  out_rank=1
+    is corpus assignment; out_rank=nprobe is query-side multi-probe.
+    Output: ``df``'s columns plus ``cell``."""
+    d = F.round(l2_distance(F.col(vec_col), F.col("_cent")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
+    return (
+        df.join(F.broadcast(cents))
+        .withColumn("_d", d)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= out_rank)
+        .drop("_cent", "_d", "_r")
+        .withColumnRenamed("cid", "cell")
+    )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    centroid_ids: tuple[int, ...],
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST the IVF index — the pay-once-at-write-time step
+    the probe path's economics depend on (docs/SCALING.md: at 100 TB the
+    index IS the persisted layout).
+
+    Two tables under ``path``:
+    - ``centroids``: the coarse quantizer (cid, cent) — tiny, unpartitioned.
+    - ``cells``: the corpus with its nearest-centroid assignment and the
+      PRECOMPUTED L2 norm, written ``partitionBy("cell")`` so a probe
+      reads only its nprobe cell partitions (partition pruning at the
+      scan) and never recomputes a corpus norm.
+
+    Centroids are corpus vectors at fixed ids (the training-free
+    quantizer of :func:`ivf_topk`; a k-means refinement would slot in
+    identically).  Floats round-trip parquet bit-exactly, so a probe of
+    the persisted index equals the in-session :func:`ivf_topk` plan —
+    the ``ann_ivf_index_roundtrip`` oracle certifies exactly that."""
+    cents = corpus.filter(F.col(corpus_id).isin(*centroid_ids)).select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("_cent")
+    )
+    cents.withColumnRenamed("_cent", "cent").write.mode("overwrite").parquet(
+        path + "/centroids"
+    )
+    assigned = ivf_assign(
+        corpus.select(corpus_id, F.col(vec_col).alias("_v")),
+        cents,
+        corpus_id,
+        1,
+    )
+    assigned.select(
+        "cell",
+        corpus_id,
+        F.col("_v").alias(vec_col),
+        norm(F.col("_v")).alias("vnorm"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted IVF index: assign ONLY the new
+    batch against the PERSISTED quantizer (fresh parquet read — no
+    lineage to the build run) and append its cell partitions.  The
+    historical corpus is never re-read, re-assigned, or re-normed: the
+    cost of an arrival is O(|batch| x k_centroids), independent of index
+    size — the embedding twin of dedup_state_roundtrip's band append."""
+    cents = spark.read.parquet(path + "/centroids").select(
+        "cid", F.col("cent").alias("_cent")
+    )
+    assigned = ivf_assign(
+        batch.select(corpus_id, F.col(vec_col).alias("_v")),
+        cents,
+        corpus_id,
+        1,
+    )
+    assigned.select(
+        "cell",
+        corpus_id,
+        F.col("_v").alias(vec_col),
+        norm(F.col("_v")).alias("vnorm"),
+    ).write.mode("append").partitionBy("cell").parquet(path + "/cells")
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    cos_round: int = 6,
+) -> DataFrame:
+    """ANN top-k against a PERSISTED IVF index: queries are assigned to
+    their ``nprobe`` nearest cells via the persisted quantizer, then
+    joined (query side broadcast) against the cell-partitioned corpus on
+    the partition column — Spark's dynamic partition pruning restricts
+    the scan to the probed cells, and the write-time ``vnorm`` column
+    means the corpus side contributes one dot product per candidate.
+    Output matches :func:`ivf_topk`: (q_id, vec_id, cos, rank)."""
+    cents = spark.read.parquet(path + "/centroids").select(
+        "cid", F.col("cent").alias("_cent")
+    )
+    cells = spark.read.parquet(path + "/cells")
+    q = ivf_assign(
+        queries.select(query_id, F.col(vec_col).alias("_qv")),
+        cents,
+        query_id,
+        nprobe,
+        vec_col="_qv",
+    ).withColumn("_qn", norm(F.col("_qv")))
+    denom = F.col("vnorm") * F.col("_qn")
+    cos = F.when(denom > 0, dot(F.col(vec_col), F.col("_qv")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    scored = cells.join(F.broadcast(q), "cell").withColumn(
+        "cos", F.round(cos, cos_round)
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,24 +306,12 @@ def ivf_topk(
     cents = corpus.filter(F.col(corpus_id).isin(*centroid_ids)).select(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("_cent")
     )
-
-    def assign(df: DataFrame, id_col: str, out_rank: int) -> DataFrame:
-        d = F.round(l2_distance(F.col("_v"), F.col("_cent")), 6)
-        w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
-        return (
-            df.join(F.broadcast(cents))
-            .withColumn("_d", d)
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= out_rank)
-            .drop("_cent", "_d", "_r")
-        )
-
-    c = assign(
-        corpus.select(corpus_id, F.col(vec_col).alias("_v")), corpus_id, 1
-    ).withColumnRenamed("cid", "cell")
-    q = assign(
-        queries.select(query_id, F.col(vec_col).alias("_v")), query_id, nprobe
-    ).withColumnRenamed("cid", "cell")
+    c = ivf_assign(
+        corpus.select(corpus_id, F.col(vec_col).alias("_v")), cents, corpus_id, 1
+    )
+    q = ivf_assign(
+        queries.select(query_id, F.col(vec_col).alias("_v")), cents, query_id, nprobe
+    )
 
     c = c.withColumn("_cn", norm(F.col("_v")))
     q = q.select(query_id, "cell", F.col("_v").alias("_qv"), norm(F.col("_v")).alias("_qn"))

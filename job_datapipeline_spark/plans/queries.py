@@ -1284,10 +1284,16 @@ def _planted_dedup_artifact(
     (the bench / correctness-gate shape).  Laziness matters: the
     threshold curve never pays the signature build, the estimate report
     never pays the 0.5-floor PPJoin.  Keyed by Spark applicationId so a
-    fresh session never sees another session's (unreachable) frames."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    fresh session never sees another session's (unreachable) frames;
+    entries keyed by OTHER applicationIds are evicted on insert, so a
+    long-lived process cycling sessions never pins stopped sessions'
+    DataFrames (and their localCheckpoint-lineage objects) forever."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     df = _DEDUP_ARTIFACTS.get(key)
     if df is None:
+        for k in [k for k in _DEDUP_ARTIFACTS if k[0] != app_id]:
+            del _DEDUP_ARTIFACTS[k]
         if name == "corpus":
             df = _planted_corpus(spark, sf_dir).localCheckpoint()
         elif name == "sigs":
@@ -7836,6 +7842,7 @@ from . import llm_round9b  # noqa: E402,F401  (tokenizer_unigram_lm: SentencePie
 from . import llm_round9c  # noqa: E402,F401  (corpus_epoch_upsample: epoch-capped repeat mixture)
 from . import llm_round9d  # noqa: E402,F401  (corpus_decontaminate_coverage: method contingency table)
 from . import llm_round9e  # noqa: E402,F401  (text_boilerplate_lines: corpus-frequency furniture filter)
+from . import llm_round10a  # noqa: E402,F401  (ann_ivf_index_roundtrip: persistent IVF index write/append/probe)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

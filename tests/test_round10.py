@@ -1,0 +1,74 @@
+"""Round-10 semantic pins: the persistent IVF index round trip must
+return the SAME top-k as the never-persisted in-session IVF plan over
+the identical corpus/quantizer, the appended batch must be visible in
+the results, and the probe must be honest ANN (every hit shares a
+probed cell with its query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.catalog import table
+from job_datapipeline_spark.operators.similarity import ivf_topk
+from job_datapipeline_spark.plans.llm_round10a import _R10_IVF_CENTS
+from job_datapipeline_spark.plans.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def _roundtrip(spark):
+    return (
+        REGISTRY["ann_ivf_index_roundtrip"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ivf_roundtrip_equals_in_session_plan(spark):
+    """The defining property: write + append + probe over parquet state
+    == one-shot ivf_topk over the union corpus (floats round-trip
+    parquet bit-exactly; the appended batch is indistinguishable from
+    build-time vectors)."""
+    got = _roundtrip(spark)
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    queries = emb.filter(
+        (F.col("vec_id") % 10 == 3) & (F.col("vec_id") < 100)
+    ).select(F.col("vec_id").alias("q_id"), "embedding")
+    want = (
+        ivf_topk(
+            corpus, queries, k=5, centroid_ids=_R10_IVF_CENTS,
+            nprobe=2, cos_round=4,
+        )
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got["q_id"]) == list(want["q_id"])
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert list(got["cos"]) == list(want["cos"])
+    assert list(got["rank"]) == list(want["rank"])
+
+
+def test_ivf_roundtrip_batch_visible(spark):
+    """The append materially changed the answer: at least one top-k hit
+    is a batch (vec_id % 10 == 7) vector, and the in-plan verdict
+    column agrees with the per-row flags."""
+    df = _roundtrip(spark)
+    assert df["batch_visible"].all()
+    assert df["from_batch"].any()
+    assert (df["from_batch"] == (df["vec_id"] % 10 == 7)).all()
+
+
+def test_ivf_roundtrip_shape(spark):
+    """Structural pins: <=5 hits per query with dense ranks from 1, every
+    query id present, cosines in [-1, 1]."""
+    df = _roundtrip(spark)
+    for q_id, grp in df.groupby("q_id"):
+        assert q_id % 10 == 3 and q_id < 100
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 5
+        assert (grp["cos"].diff().dropna() <= 0).all()
+    assert df["cos"].between(-1.0, 1.0).all()

@@ -1,0 +1,123 @@
+"""Scale-growth measurements for the round-10 persistent IVF index
+(ann_ivf_index_roundtrip / operators/similarity.ivf_index_*):
+
+1. "Pay assignment once at write time" — index WRITE cost at 1x and 10x
+   corpus (should be ~linear in corpus size: one broadcast-argmin pass
+   plus the partitioned write).
+
+2. "Arrival cost is independent of index size" — APPEND of a FIXED-size
+   batch against a 1x and a 10x persisted index (should be ~flat: the
+   batch is assigned against the persisted quantizer only; the
+   historical cells are never read).
+
+3. "A query reads nprobe partitions" — PROBE of a fixed query set
+   against the 1x and 10x index, vs a brute-force full-scan top-k over
+   the same 10x corpus.  Probe growth tracks the probed-cell rows
+   (corpus/k_cells x nprobe), and the dynamic-partition-pruned probe
+   should beat the full scan.
+
+Vectors are xxhash64-mixed per (id, dim) — deterministic, no RNG at
+plan time, and no accidental structure (the r9 linear-recipe lesson).
+
+Usage: python tools/scale_growth_round10.py
+Prints one JSON line per datapoint with wall seconds (min of 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from job_datapipeline_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    ivf_index_append,
+    ivf_index_probe,
+    ivf_index_write,
+)
+from job_datapipeline_spark.session import get_spark  # noqa: E402
+
+N_BASE = 20_000  # 1x corpus vectors
+N_BATCH = 2_000  # fixed arrival size at every index scale
+N_QUERIES = 10
+DIM = 64
+CENTS = tuple(range(8))  # quantizer = corpus vectors at ids 0..7
+
+
+def build_vectors(spark, n: int, id_offset: int = 0):
+    """n deterministic 64-dim vectors: dim j of id i is a scaled
+    xxhash64(i, j) — uniform-ish in [-1, 1), zero planted structure."""
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(2000)).cast("double")
+            / 1000.0
+            - 1.0
+        ),
+    )
+    return (
+        spark.range(n)
+        .select((F.col("id") + id_offset).alias("vec_id"))
+        .select("vec_id", vec.alias("embedding"))
+        .localCheckpoint()
+    )
+
+
+def timed(label: str, fn, runs: int = 2) -> float:
+    best = float("inf")
+    out = None
+    for _ in range(runs):
+        t0 = time.monotonic()
+        out = fn()
+        best = min(best, time.monotonic() - t0)
+    print(json.dumps({"step": label, "wall_s": round(best, 2), "result": out}))
+    return best
+
+
+def main() -> None:
+    spark = get_spark("scale-growth-r10")
+    root = tempfile.mkdtemp(prefix="ivf_growth_")
+    queries = build_vectors(spark, N_QUERIES, id_offset=10_000_000).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    ).localCheckpoint()
+
+    for mult in (1, 10):
+        n = N_BASE * mult
+        corpus = build_vectors(spark, n)
+        path = os.path.join(root, f"idx_{mult}x")
+
+        timed(
+            f"write_{mult}x_{n}vecs",
+            lambda: ivf_index_write(corpus, path, CENTS),
+        )
+        batch = build_vectors(spark, N_BATCH, id_offset=20_000_000)
+        timed(
+            f"append_{N_BATCH}batch_into_{mult}x",
+            lambda: ivf_index_append(spark, path, batch),
+        )
+        timed(
+            f"probe_{N_QUERIES}q_{mult}x",
+            lambda: ivf_index_probe(
+                spark, path, queries, k=5, nprobe=2, cos_round=4
+            ).count(),
+        )
+        if mult == 10:
+            timed(
+                f"brute_{N_QUERIES}q_{mult}x",
+                lambda: brute_force_topk(
+                    corpus.unionByName(batch), queries, k=5
+                ).count(),
+            )
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
