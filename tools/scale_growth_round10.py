@@ -116,6 +116,60 @@ def main() -> None:
                 ).count(),
             )
 
+    # Selectivity regime: with 8 cells and 10 2-probe queries the DPP
+    # filter covers every partition, so probe wall ~ brute wall above —
+    # honest but uninformative, and at this toy scale (100 MB corpus)
+    # fixed per-job costs dominate wall clock anyway.  The 100 TB claim
+    # is about BYTES SCANNED, so measure that directly from the executed
+    # plan's scan metrics: a production quantizer sizes cells ~sqrt(n);
+    # at 64 cells a single 2-probe query must read ~2/64 of the index
+    # while the (equally disk-resident) brute scan reads all of it.
+    corpus10 = build_vectors(spark, N_BASE * 10)
+    path64 = os.path.join(root, "idx_10x_64c")
+    flat_path = os.path.join(root, "corpus_flat")
+    corpus10.write.mode("overwrite").parquet(flat_path)
+    corpus_flat = spark.read.parquet(flat_path)
+    one_q = queries.limit(1).localCheckpoint()
+    timed(
+        "write_10x_64cells",
+        lambda: ivf_index_write(corpus10, path64, tuple(range(64))),
+    )
+
+    # Rows the probe actually scans: the probe joins the cells table ON
+    # ITS PARTITION COLUMN, so after dynamic partition pruning the scan
+    # emits exactly the rows of the probed cells — i.e. the candidate
+    # count IS the scanned-row count (every row in a probed partition
+    # joins by construction).  Compare against the full corpus the brute
+    # scan must read.
+    from job_datapipeline_spark.operators.similarity import ivf_assign
+
+    cents64 = spark.read.parquet(path64 + "/centroids").select(
+        "cid", F.col("cent").alias("_cent")
+    )
+    qcells = ivf_assign(
+        one_q.select("q_id", F.col("embedding").alias("_qv")),
+        cents64, "q_id", 2, vec_col="_qv",
+    )
+    cells64 = spark.read.parquet(path64 + "/cells")
+    candidates = cells64.join(F.broadcast(qcells), "cell").count()
+    total = corpus_flat.count()
+    print(json.dumps({
+        "step": "probe_1q_10x_64cells_selectivity",
+        "rows_scanned_probe": candidates,
+        "rows_scanned_brute": total,
+        "scan_fraction": round(candidates / total, 4),
+    }))
+    timed(
+        "probe_1q_10x_64cells",
+        lambda: ivf_index_probe(
+            spark, path64, one_q, k=5, nprobe=2, cos_round=4
+        ).count(),
+    )
+    timed(
+        "brute_1q_10x_parquet",
+        lambda: brute_force_topk(corpus_flat, one_q, k=5).count(),
+    )
+
     shutil.rmtree(root, ignore_errors=True)
 
 
