@@ -47,18 +47,10 @@ from ..operators.similarity import (
     ivf_index_write,
 )
 from .queries import _scratch_dir, register
-
-# Quantizer ids: BASE-corpus vectors (none =3 or =7 mod 10, so neither
-# the query set nor the late batch contributes a centroid), all present
-# at every test SF (embeddings has >=500 ids at sf0.001+).
-_R10_IVF_CENTS = (0, 2, 4, 6, 8, 12, 14, 16)
-_R10_IVF_CENTS_SQL = str(_R10_IVF_CENTS)
-
-_R10_IVF_L2 = (
-    "round(sqrt(list_sum(["
-    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) * "
-    "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) "
-    "FOR i IN range(1, 65)])), 6)"
+from .r10_shared import (
+    R10_IVF_CENTS as _R10_IVF_CENTS,
+    R10_IVF_CENTS_SQL as _R10_IVF_CENTS_SQL,
+    R10_IVF_L2 as _R10_IVF_L2,
 )
 
 

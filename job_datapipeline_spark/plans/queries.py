@@ -7843,6 +7843,7 @@ from . import llm_round9c  # noqa: E402,F401  (corpus_epoch_upsample: epoch-capp
 from . import llm_round9d  # noqa: E402,F401  (corpus_decontaminate_coverage: method contingency table)
 from . import llm_round9e  # noqa: E402,F401  (text_boilerplate_lines: corpus-frequency furniture filter)
 from . import llm_round10a  # noqa: E402,F401  (ann_ivf_index_roundtrip: persistent IVF index write/append/probe)
+from . import llm_round10b  # noqa: E402,F401  (streaming_ann_index_ingest: AvailableNow arrivals into the persisted IVF index)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from job_datapipeline_spark.catalog import table
 from job_datapipeline_spark.operators.similarity import ivf_topk
-from job_datapipeline_spark.plans.llm_round10a import _R10_IVF_CENTS
+from job_datapipeline_spark.plans.r10_shared import R10_IVF_CENTS as _R10_IVF_CENTS
 from job_datapipeline_spark.plans.queries import REGISTRY
 
 from conftest import SF_SMOKE
@@ -60,6 +60,26 @@ def test_ivf_roundtrip_batch_visible(spark):
     assert df["batch_visible"].all()
     assert df["from_batch"].any()
     assert (df["from_batch"] == (df["vec_id"] % 10 == 7)).all()
+
+
+def test_streaming_ingest_equals_batch_roundtrip(spark):
+    """Arrival order and micro-batch boundaries must not matter: the
+    streamed index serves the exact top-k the batch round trip (same
+    corpus, same quantizer) produces."""
+    got = (
+        REGISTRY["streaming_ann_index_ingest"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _roundtrip(spark)
+    for col in ("q_id", "vec_id", "cos", "rank"):
+        assert list(got[col]) == list(want[col]), col
+    # the verdict: hits arrived in more than one micro-batch
+    assert got["multi_batch_hits"].all()
+    assert got["arrival_batch"].nunique() >= 2
+    assert got["arrival_batch"].between(0, 2).all()
 
 
 def test_ivf_roundtrip_shape(spark):
