@@ -147,6 +147,14 @@ KNOWN: dict[str, tuple[int | None, str]] = {
     "tpch_market_share": (9,
         "Q8: the widest TPC-H join graph (6 joins + final agg) "
         "legitimately exceeds the budget by one"),
+    "ann_pq_adc_topk": (13,
+        "the PQ pipeline's designed stages: encode is ONE min_by partial "
+        "agg keyed (vec_id, subspace), the ADC scan is one (q_id, vec_id) "
+        "partial-combined sum off the broadcast integer LUT, then the "
+        "candidate/rerank/brute-recall top-k windows; every join side "
+        "except the corpus codes is a broadcast (LUT, candidates, the "
+        "10-row query frame) and the brute window is the labeled "
+        "small-scale-only recall verdict, exactly as ann_sq8_rerank"),
     "ann_sq8_rerank": (9,
         "5 of the 9 are kilobyte BroadcastExchanges (query codes, "
         "candidate ids, recall flags); the 4 hash shuffles are the "

@@ -1,0 +1,274 @@
+"""Round-10 third batch: product-quantized ANN with ADC scoring.
+
+``ann_sq8_rerank`` covers SCALAR quantization (per-dimension affine
+codes); this is the other half of the faiss index family — PRODUCT
+quantization: the 64-dim space splits into m=8 subspaces of 8 dims,
+each subspace gets its own 16-entry codebook (corpus sub-vectors at
+fixed ids — the repo's training-free quantizer convention; k-means
+refinement slots in identically), and every corpus vector compresses to
+8 one-byte codes (64 floats -> 8 bytes, a 32x compression vs the 4x of
+SQ8).
+
+Scoring is the textbook ADC (asymmetric distance computation): per
+query, ONE 8x16 lookup table of exact query-subvector-to-codebook
+distances; a corpus vector's approximate distance is the sum of 8 LUT
+entries selected by its codes — the corpus floats are never touched
+until the exact-cosine rerank of the top candidates.
+
+Integer discipline: all LUT entries are MICRO-unit bigints
+(round(l2sq * 1e6)), so ADC sums are exact integer arithmetic —
+bit-identical across engines regardless of addition order, with ties
+pinned by vec_id.  The final top-5 carry an in-plan recall flag against
+the brute-force exact top-k (the measured recall/cost trade, as in
+ann_sq8_rerank).
+
+100 TB shape: the codes table is 32x smaller than the float corpus and
+the ADC scan reads ONLY codes + a broadcast per-query LUT (map-side
+expand by |Q|, partial-agg combine); encoding is a write-time cost —
+one min_by partial aggregate per (vector, subspace), never a window —
+and the float vectors are touched for CAND rows per query in the
+rerank.  Reference parity: none (no embeddings in the reference);
+extends the similarity family mandated by the LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .queries import register
+
+_PQ_M = 8       # subspaces
+_PQ_SUB = 8     # dims per subspace (8 x 8 = the 64-dim testdata width)
+_PQ_KS = 16     # codebook entries per subspace (corpus ids 0..15)
+_PQ_CAND = 20   # ADC candidates per query fed to the exact rerank
+_PQ_TOPK = 5
+
+# micro-unit l2^2 between two 8-dim slices (DuckDB side); s/c are the
+# slice expressions, 1-based positions
+def _sql_l2sq_micro(a: str, b: str) -> str:
+    return (
+        f"CAST(round(list_sum([(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"FOR i IN range(1, {_PQ_SUB + 1})]) * 1000000) AS BIGINT)"
+    )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH corp AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+    ),
+    qs AS (
+        SELECT vec_id AS q_id, embedding FROM embeddings
+        WHERE vec_id % 10 = 3 AND vec_id < 100
+    ),
+    js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    cb AS (
+        SELECT vec_id AS c, j,
+               list_slice(embedding, j * {_PQ_SUB} + 1,
+                          j * {_PQ_SUB} + {_PQ_SUB}) AS cvec
+        FROM embeddings CROSS JOIN js WHERE vec_id < {_PQ_KS}
+    ),
+    csub AS (
+        SELECT vec_id, j,
+               list_slice(embedding, j * {_PQ_SUB} + 1,
+                          j * {_PQ_SUB} + {_PQ_SUB}) AS svec
+        FROM corp CROSS JOIN js
+    ),
+    enc AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT s.vec_id, s.j, cb.c,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.j
+                       ORDER BY {_sql_l2sq_micro('s.svec', 'cb.cvec')}, cb.c
+                   ) AS r
+            FROM csub s JOIN cb ON cb.j = s.j) x
+        WHERE r = 1
+    ),
+    lut AS (
+        SELECT q.q_id, cb.j, cb.c,
+               {_sql_l2sq_micro(
+                   "list_slice(q.embedding, cb.j * " + str(_PQ_SUB)
+                   + " + 1, cb.j * " + str(_PQ_SUB) + " + " + str(_PQ_SUB) + ")",
+                   "cb.cvec")} AS dsq
+        FROM qs q CROSS JOIN cb
+    ),
+    adc AS (
+        SELECT l.q_id, e.vec_id, sum(l.dsq) AS adc
+        FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.code
+        GROUP BY l.q_id, e.vec_id
+    ),
+    cand AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc ASC, vec_id) AS r
+            FROM adc) x
+        WHERE r <= {_PQ_CAND}
+    ),
+    exact AS (
+        SELECT cand.q_id, cand.vec_id,
+               round(list_dot_product(e2.embedding, q2.embedding) /
+                     (sqrt(list_dot_product(e2.embedding, e2.embedding)) *
+                      sqrt(list_dot_product(q2.embedding, q2.embedding))), 4)
+                   AS cos
+        FROM cand
+        JOIN embeddings e2 ON e2.vec_id = cand.vec_id
+        JOIN embeddings q2 ON q2.vec_id = cand.q_id
+    ),
+    rer AS (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM exact
+    ),
+    brute AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e3.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY list_dot_product(e3.embedding, q.embedding) /
+                                (sqrt(list_dot_product(e3.embedding, e3.embedding)) *
+                                 sqrt(list_dot_product(q.embedding, q.embedding)))
+                           DESC, e3.vec_id) AS r
+            FROM corp e3 CROSS JOIN qs q) x
+        WHERE r <= {_PQ_TOPK}
+    )
+    SELECT rer.q_id, rer.vec_id, rer.cos, CAST(rer.rank AS BIGINT) AS rank,
+           (brute.vec_id IS NOT NULL) AS in_exact_topk
+    FROM rer LEFT JOIN brute
+      ON brute.q_id = rer.q_id AND brute.vec_id = rer.vec_id
+    WHERE rer.rank <= {_PQ_TOPK}
+    ORDER BY rer.q_id, rank
+    """,
+    doc="Product-quantized (PQ, faiss-style) ANN with ADC scoring and "
+        f"exact rerank: the 64-dim space splits into {_PQ_M} subspaces of "
+        f"{_PQ_SUB} dims with a {_PQ_KS}-entry codebook each (corpus "
+        "sub-vectors at fixed ids), every corpus vector compresses to "
+        f"{_PQ_M} one-byte codes (32x vs the float corpus), and per-query "
+        f"scoring sums {_PQ_M} entries of a broadcast {_PQ_M}x{_PQ_KS} "
+        "lookup table of MICRO-UNIT INTEGER query-to-codebook distances — "
+        "exact bigint arithmetic, bit-identical on any engine, ties by "
+        f"vec_id. The top {_PQ_CAND} ADC candidates per query are "
+        f"reranked by exact cosine; the final top {_PQ_TOPK} carry an "
+        "in-plan recall flag against the brute-force exact top-k. "
+        "Encoding is a write-time min_by PARTIAL AGGREGATE per (vector, "
+        "subspace) — map-side combinable, no window; the ADC scan reads "
+        "only codes + the broadcast LUT, the standard memory-bandwidth "
+        "trade that makes PQ the 100 TB vector-index default.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    qv = (
+        emb.filter((F.col("vec_id") % 10 == 3) & (F.col("vec_id") < 100))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec"))
+        .localCheckpoint()  # 10-row query frame: LUT, rerank, brute verify
+    )
+
+    subspaces = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.slice("embedding", j * _PQ_SUB + 1, _PQ_SUB).alias("svec"),
+        )
+        for j in range(_PQ_M)
+    ])
+    # codebook: KS x M sub-vectors — kilobytes, reused by encode AND LUT
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_KS)
+        .select(F.col("vec_id").alias("c"), F.inline(subspaces))
+        .withColumnRenamed("svec", "cvec")
+        .localCheckpoint()
+    )
+
+    def l2sq_micro(a, b):
+        diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+        s = F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
+        return F.round(s * 1_000_000.0, 0).cast("bigint")
+
+    # encode: nearest codebook entry per (vector, subspace) — a min_by
+    # PARTIAL AGGREGATE (map-side combinable), deliberately not a window
+    csub = corpus.select("vec_id", F.inline(subspaces))
+    enc = (
+        csub.join(F.broadcast(cb), "j")
+        .select(
+            "vec_id", "j", "c",
+            l2sq_micro(F.col("svec"), F.col("cvec")).alias("_d"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min_by("c", F.struct("_d", "c")).alias("code"))
+    )
+
+    # per-query LUT: M x KS integer distances — |Q| x 128 rows, broadcast
+    qsub = qv.select(
+        "q_id",
+        F.inline(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice("qvec", j * _PQ_SUB + 1, _PQ_SUB).alias("qsvec"),
+            )
+            for j in range(_PQ_M)
+        ])),
+    )
+    lut = qsub.join(F.broadcast(cb), "j").select(
+        "q_id", "j", "c", l2sq_micro(F.col("qsvec"), F.col("cvec")).alias("dsq")
+    )
+
+    # ADC scan: codes join the broadcast LUT, exact integer sums
+    adc = (
+        enc.join(F.broadcast(lut), (enc.j == lut.j) & (enc.code == lut.c))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dsq").alias("adc"))
+    )
+    w_a = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("r", F.row_number().over(w_a))
+        .filter(F.col("r") <= _PQ_CAND)
+        .select("q_id", "vec_id")
+    )
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = lambda a, b: dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))  # noqa: E731
+    exact = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id", "vec_id",
+            F.round(cos(F.col("embedding"), F.col("qvec")), 4).alias("cos"),
+        )
+    )
+    w_r = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    rer = (
+        exact.withColumn("rank", F.row_number().over(w_r).cast("bigint"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+    )
+    brute = (
+        corpus.join(F.broadcast(qv))
+        .select(
+            "q_id", "vec_id",
+            cos(F.col("embedding"), F.col("qvec")).alias("_c"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("r") <= _PQ_TOPK)
+        .select("q_id", "vec_id", F.lit(True).alias("_hit"))
+    )
+    return (
+        rer.join(F.broadcast(brute), ["q_id", "vec_id"], "left")
+        .select(
+            "q_id", "vec_id", "cos", "rank",
+            F.coalesce("_hit", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("q_id", "rank")
+    )
