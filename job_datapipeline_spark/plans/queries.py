@@ -7845,6 +7845,7 @@ from . import llm_round9e  # noqa: E402,F401  (text_boilerplate_lines: corpus-fr
 from . import llm_round10a  # noqa: E402,F401  (ann_ivf_index_roundtrip: persistent IVF index write/append/probe)
 from . import llm_round10b  # noqa: E402,F401  (streaming_ann_index_ingest: AvailableNow arrivals into the persisted IVF index)
 from . import llm_round10c  # noqa: E402,F401  (ann_pq_adc_topk: product quantization, integer ADC lookup scan)
+from . import llm_round10d  # noqa: E402,F401  (agg_kmv_theta_sketch_ops: mergeable distinct sketches with union/intersection)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -105,6 +105,34 @@ def test_pq_adc_recall_beats_chance(spark):
     assert df["cos"].between(-1.0, 1.0).all()
 
 
+def test_kmv_theta_sketch_pins(spark):
+    """Semantic pins: the mergeability verdict holds, the exact-fallback
+    branch fires when n < k (sf0.001 segments are ~130 < 256 so every
+    estimate is exact there), and set-algebra sanity on the estimates."""
+    df = (
+        REGISTRY["agg_kmv_theta_sketch_ops"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("metric")
+    )
+    assert list(df.index) == ["seg_urgent", "seg_high", "union", "intersection"]
+    assert df["merge_consistent"].all()
+    # sf0.001: every set is smaller than k=256 -> sketches are exhaustive
+    # -> the n<k fallback makes segment/union estimates EXACT
+    for m in ("seg_urgent", "seg_high", "union"):
+        assert df.loc[m, "estimate"] == df.loc[m, "exact"], m
+        assert df.loc[m, "abs_err_permille"] == 0
+    # inclusion-exclusion sanity on the exact column
+    assert (
+        df.loc["seg_urgent", "exact"] + df.loc["seg_high", "exact"]
+        - df.loc["intersection", "exact"]
+        == df.loc["union", "exact"]
+    )
+    # intersection estimate: near-exhaustive sketches -> small error
+    inter = df.loc["intersection"]
+    assert abs(inter["estimate"] - inter["exact"]) <= 0.1 * inter["exact"] + 1
+
+
 def test_ivf_roundtrip_shape(spark):
     """Structural pins: <=5 hits per query with dense ranks from 1, every
     query id present, cosines in [-1, 1]."""
