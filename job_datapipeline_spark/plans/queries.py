@@ -7846,6 +7846,7 @@ from . import llm_round10a  # noqa: E402,F401  (ann_ivf_index_roundtrip: persist
 from . import llm_round10b  # noqa: E402,F401  (streaming_ann_index_ingest: AvailableNow arrivals into the persisted IVF index)
 from . import llm_round10c  # noqa: E402,F401  (ann_pq_adc_topk: product quantization, integer ADC lookup scan)
 from . import llm_round10d  # noqa: E402,F401  (agg_kmv_theta_sketch_ops: mergeable distinct sketches with union/intersection)
+from . import llm_round10e  # noqa: E402,F401  (embedding_matryoshka_overlap: prefix-dim truncation quality curve)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -133,6 +133,29 @@ def test_kmv_theta_sketch_pins(spark):
     assert abs(inter["estimate"] - inter["exact"]) <= 0.1 * inter["exact"] + 1
 
 
+def test_matryoshka_curve_monotone_and_identity(spark):
+    """The overlap curve must be monotone non-decreasing in the dim
+    budget, end at the exact identity (d=64 overlaps itself 1000/1000,
+    pinned in-plan), and degrade for real at small d on these untrained
+    embeddings (the honest-measurement property)."""
+    df = (
+        REGISTRY["embedding_matryoshka_overlap"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("dim_budget")
+        .reset_index(drop=True)
+    )
+    assert list(df["dim_budget"]) == [8, 16, 32, 64]
+    assert df["identity_holds"].all()
+    assert df.loc[3, "avg_overlap_milli"] == 1000
+    overlaps = list(df["avg_overlap_milli"])
+    assert overlaps == sorted(overlaps)
+    # untrained embeddings: the 8-dim prefix must NOT look as good as the
+    # full vector (if it did, the measurement would be broken)
+    assert df.loc[0, "avg_overlap_milli"] < 1000
+    assert (df["bytes_permille"] == [125, 250, 500, 1000]).all()
+
+
 def test_ivf_roundtrip_shape(spark):
     """Structural pins: <=5 hits per query with dense ranks from 1, every
     query id present, cosines in [-1, 1]."""
