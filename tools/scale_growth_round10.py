@@ -170,6 +170,80 @@ def main() -> None:
         lambda: brute_force_topk(corpus_flat, one_q, k=5).count(),
     )
 
+    # --- PQ encode / ADC scan growth (ann_pq_adc_topk's stages) ---
+    # encode is the write-time cost (min_by partial agg over n x KS
+    # candidate rows per subspace: expect ~linear); the ADC scan reads
+    # only codes + the broadcast LUT (expect ~linear in codes).
+    from job_datapipeline_spark.plans import llm_round10c as _pq
+
+    for mult in (1, 10):
+        n = N_BASE * mult
+        corpus = build_vectors(spark, n).withColumnRenamed("vec_id", "cid_")
+        corpus = corpus.select(F.col("cid_").alias("vec_id"), "embedding")
+        # reuse the registered plan's stages by calling its module-level
+        # builder pieces through a temp view-free path: encode via the
+        # same expressions (subspaces/l2sq) is exercised end-to-end by
+        # the registry query; here we time the operator-shaped stages
+        # with the synthetic corpus by running the full query body on a
+        # frame-substituted copy: simplest honest proxy = time the
+        # encode-equivalent aggregation directly.
+        subspaces = F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice("embedding", j * 8 + 1, 8).alias("svec"),
+            )
+            for j in range(8)
+        ])
+        cb = (
+            corpus.filter(F.col("vec_id") < 16)
+            .select(F.col("vec_id").alias("c"), F.inline(subspaces))
+            .withColumnRenamed("svec", "cvec")
+            .localCheckpoint()
+        )
+
+        def l2sq_micro(a, b):
+            diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+            s = F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
+            return F.round(s * 1_000_000.0, 0).cast("bigint")
+
+        csub = corpus.select("vec_id", F.inline(subspaces))
+        enc = (
+            csub.join(F.broadcast(cb), "j")
+            .select("vec_id", "j", "c", l2sq_micro(F.col("svec"), F.col("cvec")).alias("_d"))
+            .groupBy("vec_id", "j")
+            .agg(F.min_by("c", F.struct("_d", "c")).alias("code"))
+        )
+        timed(f"pq_encode_{mult}x_{n}vecs", lambda: enc.count())
+        enc_ck = enc.localCheckpoint()
+        qsub = queries.select(
+            "q_id",
+            F.inline(F.array(*[
+                F.struct(F.lit(j).alias("j"), F.slice("embedding", j * 8 + 1, 8).alias("qsvec"))
+                for j in range(8)
+            ])),
+        )
+        lut = qsub.join(F.broadcast(cb), "j").select(
+            "q_id", "j", "c", l2sq_micro(F.col("qsvec"), F.col("cvec")).alias("dsq")
+        )
+        adc = (
+            enc_ck.join(F.broadcast(lut), (enc_ck.j == lut.j) & (enc_ck.code == lut.c))
+            .groupBy("q_id", "vec_id")
+            .agg(F.sum("dsq").alias("adc"))
+        )
+        timed(f"pq_adc_scan_{N_QUERIES}q_{mult}x", lambda: adc.count())
+
+    # --- KMV sketch build growth (agg_kmv_theta_sketch_ops's stage) ---
+    # distinct + TakeOrderedAndProject: output is K rows at every scale;
+    # wall should track the input scan ~linearly.
+    for mult in (1, 10):
+        n = N_BASE * mult
+        keys = spark.range(n).select((F.col("id") % (n // 2)).alias("k"))
+        hcol = F.conv(
+            F.substring(F.md5(F.col("k").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        sk = keys.select(hcol.alias("h")).distinct().orderBy("h").limit(256)
+        timed(f"kmv_sketch_{mult}x_{n}rows", lambda: sk.count())
+
     shutil.rmtree(root, ignore_errors=True)
 
 
