@@ -7656,19 +7656,97 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Round-8 closed the certification endgame: every registry entry now has
 # at least one hard driver-gate green row (cumulative CORRECTNESS_r01-r08).
-# From round 9 on, the committed rotation policy applies: each round's
-# 50-slot window = (all same-round NEW queries) + the entries with the
-# OLDEST first-certification per ``python tools/cert_ledger.py`` (oldest
-# round first, name asc within a round), filled to 50.  Certification age
-# stays bounded at ~7 rounds with zero further bookkeeping.
+# From round 9 on, the committed rotation policy applies — REVISED in
+# round 10 per the r9 verdict (defects 1 and 2): each round's 50-slot
+# window =
+#   1. all same-round NEW queries, then
+#   2. the CHANGED-CODE LANE: every certified query whose plan/operator
+#      code the round's diff touches (the hard gate must re-see code it
+#      certified — builder-side mirrors are not the driver's signal), then
+#   3. the entries with the OLDEST LAST-certification per
+#      ``python tools/cert_ledger.py`` (oldest round first, name asc
+#      within a round), filled to exactly 50.
+# The ledger tracks the LATEST green round (r10 fix — a first-certified
+# ledger re-picks the same 50 forever); certification age stays bounded
+# at ~(registry/38) rounds with zero further bookkeeping.
 #
-# Round-9 window: the stalest pool after r8's gate is exactly the 36 r1 +
-# 14 r2 first-certifications below; _R9_STALEST lists them ledger-ordered
-# and the window takes r9-new first, then as many stalest as fit.
+# Round-10 window: 5 new + 12 changed-code (the exact_rank_values guard
+# move touched its 5 consumers; the ivf_topk assignment refactor touched
+# ann_ivf_topk; the dedup-artifact memo eviction touched its 3 consumers;
+# the cteRecursionRowLimit scoping touched sql_recursive_hierarchy; the
+# planted-offset raise + in-plan guards touched the two r9 decontam
+# queries) + the 5 unrotated r2 entries + the 28 alphabetically-first r3
+# entries (ann_ivf_topk excluded there — already in the lane).
 # ---------------------------------------------------------------------------
 
+_R10_NEW = (
+    "ann_ivf_index_roundtrip",
+    "streaming_ann_index_ingest",
+    "ann_pq_adc_topk",
+    "agg_kmv_theta_sketch_ops",
+    "embedding_matryoshka_overlap",
+)
+
+_R10_CHANGED = (
+    # exact_rank_values integrality-guard move (operators/ranks.py)
+    "agg_exact_median_mad",
+    "agg_median_ci_binomial",
+    "agg_winsorized_mean",
+    "layout_range_boundaries",
+    "ml_em_gaussian_mixture",
+    # ivf_assign extraction (operators/similarity.py)
+    "ann_ivf_topk",
+    # _DEDUP_ARTIFACTS eviction-on-insert (this module)
+    "corpus_dedup_threshold_curve",
+    "dedup_lsh_tuning_curve",
+    "dedup_minhash_estimate_accuracy",
+    # child-session conf scoping (plans/llm_round8f.py)
+    "sql_recursive_hierarchy",
+    # planted-offset raise + in-plan source-id guards (llm_round9a/9d)
+    "corpus_decontaminate_semantic",
+    "corpus_decontaminate_coverage",
+)
+
+_R10_STALEST = (
+    # the 5 unrotated r2 certifications (ledger order)
+    "html_extract_listing",
+    "html_harvest_links",
+    "multimodal_blob_stats",
+    "point_lookup_customer",
+    "populator_contains_match",
+    # then r3 certifications, name asc, skipping lane members
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_moments_exact",
+    "agg_percentiles",
+    "agg_percentiles_approx",
+    "agg_unpivot_metrics",
+    "cleaner_csv_end_to_end",
+    "corpus_curation",
+    "corpus_decontaminate",
+    "corpus_funnel_report",
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "corpus_sample_bernoulli",
+    "corpus_sample_stratified",
+    "corpus_split_train_eval",
+    "corpus_weighted_sample",
+    "dedup_cluster_representatives",
+    "dedup_common_spans",
+    "dedup_components",
+    "dedup_containment_pairs",
+    "dedup_edit_distance_verify",
+    "dedup_incremental_batch",
+    "dedup_simhash_pairs",
+    "embedding_kmeans_refine",
+    "events_funnel",
+    "events_gapfill_hourly",
+    "events_retention_cohorts",
+)
+
 _R9_NEW = (
-    # round-9 additions, certified in this round's own window
+    # round-9 additions, certified in round 9's own window
     "corpus_decontaminate_semantic",
     "tokenizer_unigram_lm",
     "corpus_epoch_upsample",
@@ -7731,7 +7809,11 @@ _R9_STALEST = (
     "populator_contains_match",
 )
 
-_DRIVER_WINDOW_FIRST = _R9_NEW + _R9_STALEST[: 50 - len(_R9_NEW)]
+_DRIVER_WINDOW_FIRST = (
+    _R10_NEW
+    + _R10_CHANGED
+    + _R10_STALEST[: 50 - len(_R10_NEW) - len(_R10_CHANGED)]
+)
 
 def _in_partial_plans_import() -> bool:
     """True when this module body runs inside a CIRCULAR import started by
@@ -7761,10 +7843,15 @@ def _reorder_registry() -> None:
         raise AssertionError(f"priority list names unknown queries: {missing}")
     if len(set(_DRIVER_WINDOW_FIRST)) != len(_DRIVER_WINDOW_FIRST):
         raise AssertionError("duplicate names in priority list")
-    if len(_R9_NEW) > 14:
+    if len(_R10_NEW) > 14:
         raise AssertionError(
-            "r9 registry growth cap exceeded (verdict: <= ~14 new so the "
-            f"stalest r1/r2 rotation keeps pace), got {len(_R9_NEW)} new"
+            "registry growth cap exceeded (verdict: <= ~14 new per round so "
+            f"the stalest rotation keeps pace), got {len(_R10_NEW)} new"
+        )
+    overlap = set(_R10_CHANGED) & set(_R10_STALEST)
+    if overlap:
+        raise AssertionError(
+            f"lane/stalest overlap (list each query once): {sorted(overlap)}"
         )
     if len(_DRIVER_WINDOW_FIRST) != 50:
         raise AssertionError(
