@@ -297,17 +297,19 @@ def exact_rank_values(
         F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_n")
     )
     n = F.col("_n")
-    # Integrality guard: _ranks truncates to long, so a non-integral rank
-    # expression (caller error) would otherwise match truncated ranks and
-    # return plausible-but-wrong rows while the pruning predicate below
-    # used the untruncated value.  rank_exprs are functions of the scalar
-    # total n ONLY, so the check runs ONCE, folded into the consumed _n
-    # column of the broadcast 1-row total frame (a broadcast exchange is
-    # always built, so the assert fires even when zero partitions match
-    # the pruning predicate — a silent-empty result cannot slip past it).
-    # Folding it per candidate row instead measured ~1.28x on three of
-    # the five consumers (r9 verdict): it re-evaluated every rank
-    # expression a third time and null-guard-wrapped the _ranks array.
+    # The rank expressions are functions of the scalar total n ONLY, so
+    # they are evaluated exactly ONCE — on the 1-row total frame — into
+    # the _ranks long array; both the partition-pruning predicate and the
+    # per-row keep test below consume the array (native exists /
+    # array_contains over a handful of bigints), never re-running the
+    # (possibly decimal-backed int_div) expressions per offset or data
+    # row.  The integrality guard rides the same 1-row projection:
+    # _ranks truncates to long, so a non-integral rank expression (caller
+    # error) would otherwise match truncated ranks and return
+    # plausible-but-wrong rows.  assert_true on the broadcast total frame
+    # fails the job loudly instead, and fires even when ZERO partitions
+    # match the pruning predicate (the broadcast exchange is always
+    # built) — a silent-empty result cannot slip past it.
     integral = F.lit(True)
     for rk in rank_exprs:
         integral = integral & (rk(n) == rk(n).cast("long"))
@@ -315,20 +317,13 @@ def exact_rank_values(
         integral,
         F.lit("exact_rank_values: rank_exprs must evaluate to integral ranks"),
     )
-    total = total.select(F.when(chk.isNull(), n).alias("_n"))
-    hit = None
-    for rk in rank_exprs:
-        c = (rk(n) > F.col("_off")) & (rk(n) <= F.col("_off") + F.col("_cnt"))
-        hit = c if hit is None else (hit | c)
+    ranks_arr = F.array(*[rk(n).cast("long") for rk in rank_exprs])
+    total = total.select("_n", F.when(chk.isNull(), ranks_arr).alias("_ranks"))
+    lo, hi = F.col("_off"), F.col("_off") + F.col("_cnt")
     cand = (
         offsets.crossJoin(F.broadcast(total))
-        .where(hit)
-        .select(
-            _PID,
-            "_off",
-            "_n",
-            F.array(*[rk(n).cast("long") for rk in rank_exprs]).alias("_ranks"),
-        )
+        .where(F.exists("_ranks", lambda r: (r > lo) & (r <= hi)))
+        .select(_PID, "_off", "_n", "_ranks")
     )
     w = Window.partitionBy(_PID).orderBy(*_cols(order_cols))
     numbered = part.join(F.broadcast(cand), _PID).withColumn(

@@ -180,8 +180,8 @@ def agg_kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stats = (
         theta_n(ska, "ta", "na")
-        .crossJoin(theta_n(skb, "tb", "nb"))
-        .crossJoin(theta_n(sku, "tu", "nu"))
+        .crossJoin(F.broadcast(theta_n(skb, "tb", "nb")))
+        .crossJoin(F.broadcast(theta_n(sku, "tu", "nu")))
         .localCheckpoint()  # 1 row
     )
     inter = (
@@ -200,11 +200,16 @@ def agg_kmv_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xu"),
         )
         .crossJoin(
-            orders.filter(urgent)
-            .select("o_custkey")
-            .distinct()
-            .join(orders.filter(high).select("o_custkey").distinct(), "o_custkey")
-            .agg(F.count("*").alias("xi"))
+            F.broadcast(
+                orders.filter(urgent)
+                .select("o_custkey")
+                .distinct()
+                .join(
+                    orders.filter(high).select("o_custkey").distinct(),
+                    "o_custkey",
+                )
+                .agg(F.count("*").alias("xi"))
+            )
         )
     )
 
