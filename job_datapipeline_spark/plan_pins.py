@@ -147,6 +147,14 @@ KNOWN: dict[str, tuple[int | None, str]] = {
     "tpch_market_share": (9,
         "Q8: the widest TPC-H join graph (6 joins + final agg) "
         "legitimately exceeds the budget by one"),
+    "tokenizer_unigram_encode": (11,
+        "the inference pipeline's designed stages over the checkpointed "
+        "word frame: the word-TYPE aggregate, the substring-grid "
+        "explode into the per-type Viterbi collect_list fold, the char-"
+        "fallback distinct, the coverage verdict agg, and the per-"
+        "language rollup — every frame past the type aggregate is "
+        "bounded by |types| (never the token stream), and the "
+        "vocabulary is a broadcast artifact"),
     "ann_pq_adc_topk": (13,
         "the PQ pipeline's designed stages: encode is ONE min_by partial "
         "agg keyed (vec_id, subspace), the ADC scan is one (q_id, vec_id) "

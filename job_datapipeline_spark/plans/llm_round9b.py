@@ -45,10 +45,11 @@ the LLM-pipeline brief and round-8 verdict item 5.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.unigram import segment_words as _segment
 from .queries import register
 
 _ULM_ROUNDS = 2        # EM prune rounds; the final inventory pass is a 3rd
@@ -179,49 +180,6 @@ def _ulm_oracle() -> str:
     FROM usage{fin} u JOIN v{_ULM_ROUNDS} v USING (piece)
     ORDER BY u.usage DESC, u.piece"""
     return head + "".join(rounds) + tail
-
-
-def _viterbi_best(edged: DataFrame) -> Column:
-    """The dp fold: over positions 1..len(word), extend the accumulator
-    array of best (sc, np, seg) tuples using the pre-joined candidate
-    edges; struct ordering IS the pinned (cost, n_pieces, seg) tie-break.
-    Every position is reachable because single-char pieces are never
-    pruned from the vocabulary."""
-    init = F.array(
-        F.struct(
-            F.lit(0).cast("long").alias("sc"),
-            F.lit(0).alias("np"),
-            F.lit("").alias("seg"),
-        )
-    )
-
-    def step(acc: Column, j: Column) -> Column:
-        def cand(e: Column) -> Column:
-            prev = F.element_at(acc, (j - e["k"] + F.lit(1)).cast("int"))
-            return F.struct(
-                (prev["sc"] + e["cost"]).alias("sc"),
-                (prev["np"] + F.lit(1)).alias("np"),
-                F.when(prev["seg"] == "", e["piece"])
-                .otherwise(F.concat(prev["seg"], F.lit(" "), e["piece"]))
-                .alias("seg"),
-            )
-
-        at_j = F.filter(F.col("edges"), lambda e: e["j"] == j)
-        return F.concat(acc, F.array(F.array_min(F.transform(at_j, cand))))
-
-    dp = F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step)
-    return F.element_at(dp, F.length("word") + 1)
-
-
-def _segment(cand: DataFrame, vocab: DataFrame) -> DataFrame:
-    """(word, c, seg): pinned-argmin Viterbi segmentation of every word
-    type under the (broadcast, bounded) vocabulary costs."""
-    edged = (
-        cand.join(F.broadcast(vocab), "piece")
-        .groupBy("word", "c")
-        .agg(F.collect_list(F.struct("j", "k", "cost", "piece")).alias("edges"))
-    )
-    return edged.select("word", "c", _viterbi_best(edged)["seg"].alias("seg"))
 
 
 def _mstep_prune(spark_usage: DataFrame, chars: DataFrame) -> DataFrame:

@@ -7670,13 +7670,14 @@ def sink_roundtrip_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ledger re-picks the same 50 forever); certification age stays bounded
 # at ~(registry/38) rounds with zero further bookkeeping.
 #
-# Round-10 window: 5 new + 12 changed-code (the exact_rank_values guard
+# Round-10 window: 6 new + 13 changed-code (the exact_rank_values guard
 # move touched its 5 consumers; the ivf_topk assignment refactor touched
 # ann_ivf_topk; the dedup-artifact memo eviction touched its 3 consumers;
 # the cteRecursionRowLimit scoping touched sql_recursive_hierarchy; the
 # planted-offset raise + in-plan guards touched the two r9 decontam
-# queries) + the 5 unrotated r2 entries + the 28 alphabetically-first r3
-# entries (ann_ivf_topk excluded there — already in the lane).
+# queries; the Viterbi-device extraction touched tokenizer_unigram_lm)
+# + the 5 unrotated r2 entries + the 26 alphabetically-first r3 entries
+# (ann_ivf_topk excluded there — already in the lane).
 # ---------------------------------------------------------------------------
 
 _R10_NEW = (
@@ -7685,6 +7686,7 @@ _R10_NEW = (
     "ann_pq_adc_topk",
     "agg_kmv_theta_sketch_ops",
     "embedding_matryoshka_overlap",
+    "tokenizer_unigram_encode",
 )
 
 _R10_CHANGED = (
@@ -7705,6 +7707,8 @@ _R10_CHANGED = (
     # planted-offset raise + in-plan source-id guards (llm_round9a/9d)
     "corpus_decontaminate_semantic",
     "corpus_decontaminate_coverage",
+    # Viterbi device extraction to operators/unigram (llm_round9b)
+    "tokenizer_unigram_lm",
 )
 
 _R10_STALEST = (
@@ -7741,8 +7745,6 @@ _R10_STALEST = (
     "dedup_simhash_pairs",
     "embedding_kmeans_refine",
     "events_funnel",
-    "events_gapfill_hourly",
-    "events_retention_cohorts",
 )
 
 _R9_NEW = (
@@ -7934,6 +7936,7 @@ from . import llm_round10b  # noqa: E402,F401  (streaming_ann_index_ingest: Avai
 from . import llm_round10c  # noqa: E402,F401  (ann_pq_adc_topk: product quantization, integer ADC lookup scan)
 from . import llm_round10d  # noqa: E402,F401  (agg_kmv_theta_sketch_ops: mergeable distinct sketches with union/intersection)
 from . import llm_round10e  # noqa: E402,F401  (embedding_matryoshka_overlap: prefix-dim truncation quality curve)
+from . import llm_round10f  # noqa: E402,F401  (tokenizer_unigram_encode: fixed-vocab Viterbi inference + byte fallback)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -156,6 +156,28 @@ def test_matryoshka_curve_monotone_and_identity(spark):
     assert (df["bytes_permille"] == [125, 250, 500, 1000]).all()
 
 
+def test_unigram_encode_scorecard(spark):
+    """Semantic pins: every word segmentable (byte fallback), fertility
+    in a sane band (>1 piece/word given the sub-word vocab, bounded by
+    the 12-char word cap), fallback share strictly between 0 and 1
+    (the multi vocab is used AND does not cover everything), and one
+    row per language."""
+    df = (
+        REGISTRY["tokenizer_unigram_encode"]
+        .fn(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("lang")
+    )
+    assert sorted(df.index) == ["de", "en", "es", "fr", "zh"]
+    assert df["all_segmentable"].all()
+    assert (df["fertility_milli"] > 1000).all()
+    assert (df["fertility_milli"] < 12000).all()
+    assert (df["char_fallback_permille"] > 0).all()
+    assert (df["char_fallback_permille"] < 1000).all()
+    assert (df["n_types"] > 0).all()
+    assert (df["n_tokens"] >= df["n_types"]).all()
+
+
 def test_ivf_roundtrip_shape(spark):
     """Structural pins: <=5 hits per query with dense ranks from 1, every
     query id present, cosines in [-1, 1]."""
