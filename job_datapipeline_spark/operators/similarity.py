@@ -142,10 +142,26 @@ def ivf_assign(
     keeping its ``out_rank`` nearest cells by L2 (rounded to 6 decimals
     for cross-engine reproducibility, ties by centroid id).  out_rank=1
     is corpus assignment; out_rank=nprobe is query-side multi-probe.
-    Output: ``df``'s columns plus ``cell``."""
+    Output: ``df``'s columns plus ``cell``.
+
+    An EMPTY centroid frame (bad centroid ids, or a corpus filter that
+    excludes them all) would make every downstream assignment — and so
+    every index write, append, and probe — silently empty.  The guard
+    below fails the job loudly instead.  A broadcast-crossJoin guard (the
+    exact_rank_values pattern) is NOT enough here: when the centroid side
+    is empty the assign join itself materializes empty and AQE's
+    empty-relation propagation prunes the guard's broadcast before it is
+    ever built.  So the guard rides a UNION sentinel branch instead — a
+    1-row aggregate of the centroid count (groupBy().agg yields one row
+    even on empty input) filtered by a predicate that EMBEDS the
+    ``assert_true``: evaluating the filter on that one row fires the
+    assert when the count is zero and drops the row otherwise, and the
+    branch can never be pruned because the optimizer cannot prove a
+    data-dependent filter over a 1-row aggregate empty.  Cost: one
+    kilobyte-frame aggregate per assignment, zero rows contributed."""
     d = F.round(l2_distance(F.col(vec_col), F.col("_cent")), 6)
     w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
-    return (
+    assigned = (
         df.join(F.broadcast(cents))
         .withColumn("_d", d)
         .withColumn("_r", F.row_number().over(w))
@@ -153,6 +169,26 @@ def ivf_assign(
         .drop("_cent", "_d", "_r")
         .withColumnRenamed("cid", "cell")
     )
+    nc = cents.groupBy().agg(
+        F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("_nc")
+    )
+    chk = F.assert_true(
+        F.col("_nc") > 0,
+        F.lit(
+            "ivf_assign: centroid frame is empty — downstream assignments "
+            "would be silently empty (check centroid ids / corpus filter)"
+        ),
+    )
+    # the filter value must be DATA-DEPENDENT (_nc < 0, never true for a
+    # count) — a literal false would let SimplifyConditionals/PruneFilters
+    # prove the branch empty and drop it, assert and all
+    sentinel = nc.where(F.when(chk.isNull(), F.col("_nc") < 0)).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in assigned.schema.fields
+        ]
+    )
+    return assigned.unionByName(sentinel)
 
 
 def ivf_index_write(

@@ -268,7 +268,12 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "bucket sides + verify + anti-join over the tiny embeddings dim "
         "(500 rows); checkpoint would cost more than the rescans"),
     "ann_ivf_topk": (None,
-        "corpus + centroid + query sides of the tiny embeddings dim"),
+        "corpus + centroid + query sides of the tiny embeddings dim, "
+        "plus the two 1-row empty-centroid guard aggregates (r10 advice: "
+        "ivf_assign fails loudly on an empty quantizer instead of "
+        "returning silently-empty results; one union-sentinel guard per "
+        "assignment — corpus and query side — each a 1-row count over "
+        "the kilobyte centroid frame, constant at any corpus scale)"),
     "corpus_curation": (None, "funnel stages read disjoint corpus slices"),
     "corpus_mixture_sample": (None,
         "counts dim + kept filter + plant branch over documents"),

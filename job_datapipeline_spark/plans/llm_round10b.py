@@ -13,12 +13,17 @@ re-normed; per-arrival cost is O(|batch| x k_centroids).
 After the stream drains, one probe against the accumulated index must
 equal the ONE-SHOT IVF top-k over the whole corpus — the oracle replays
 that single-pass plan, so a green row proves the result is independent
-of arrival order and batch boundaries.  ``arrival_batch`` stamps each
-hit with the micro-batch its vector arrived in (the same deterministic
-md5 split the ingest used), and the in-plan ``multi_batch_hits``
-verdict certifies the probe really is serving vectors that arrived in
+of arrival order and batch boundaries.  ``arrival_batch`` labels each
+hit with the deterministic md5 split (the FILE it was staged into —
+cross-engine reproducible, so the oracle pins it); the in-plan
+``multi_batch_hits`` verdict counts the REAL ``batch_id``s stamped by
+``foreachBatch`` at ingest (persisted to an ``arrivals`` side table),
+certifying the probe really is serving vectors that arrived in
 different micro-batches — i.e. the incremental appends, not any single
-batch, produced the answer.
+batch, produced the answer.  The two are deliberately decoupled (r10
+advice): a stream that coalesced all files into one batch would flip
+the real-stamp verdict to false and go red at the gate, while the
+split expression alone would still show 3 values.
 
 Reference parity: none (the reference has neither embeddings nor
 streaming); extends the LLM-pipeline similarity family mandated by the
@@ -112,9 +117,11 @@ def _split_col():
         "partitions (no corpus re-read; O(batch x k_cents) per arrival). "
         "One probe after the drain must equal the one-shot IVF top-5 the "
         "oracle replays — independent of arrival order and batch "
-        "boundaries. arrival_batch stamps each hit's micro-batch; the "
-        "in-plan multi_batch_hits verdict certifies the answer is "
-        "assembled from appends across batches, not any single batch.",
+        "boundaries. arrival_batch labels each hit's staged file (md5 "
+        "split, oracle-pinned); the in-plan multi_batch_hits verdict "
+        "counts the REAL foreachBatch batch_ids stamped at ingest, "
+        "certifying the answer is assembled from appends across actual "
+        "micro-batches, not any single batch.",
 )
 def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -145,6 +152,12 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         ivf_index_append(batch_df.sparkSession, idx, batch_df)
+        # Stamp the REAL micro-batch id alongside the index append (r10
+        # advice): the multi-batch verdict below must certify actual
+        # arrival batches, not the split function that staged the files.
+        batch_df.select("vec_id").withColumn(
+            "ingest_batch", F.lit(int(batch_id)).cast("bigint")
+        ).write.mode("append").parquet(idx + "/arrivals")
 
     stream = (
         spark.readStream.schema(staged.drop("_split").schema)
@@ -162,11 +175,21 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     topk = ivf_index_probe(spark, idx, queries, k=5, nprobe=2, cos_round=4)
     # <=50 rows — materialized so the verdict agg reads the tiny result
-    # instead of replaying the probe subtree (the roundtrip precedent)
+    # instead of replaying the probe subtree (the roundtrip precedent).
+    # arrival_batch (output column) is the deterministic md5 split — the
+    # FILE each vector was staged into, reproducible cross-engine so the
+    # oracle can pin it.  multi_batch_hits (the verdict) deliberately
+    # does NOT reuse that expression: it counts the REAL batch_ids
+    # stamped by ingest() (r10 advice) — if the stream ignored
+    # maxFilesPerTrigger and landed all 3 files in one micro-batch, the
+    # real count would be 1, the verdict false, and the gate red, even
+    # though the split expression would still show 3 distinct values.
     flagged = topk.select(
         "q_id", "vec_id", "cos", "rank", _split_col().alias("arrival_batch")
     ).localCheckpoint()
-    verdict = flagged.agg(
-        (F.countDistinct("arrival_batch") > 1).alias("multi_batch_hits")
+    arrivals = spark.read.parquet(idx + "/arrivals")
+    verdict = (
+        arrivals.join(F.broadcast(flagged.select("vec_id").distinct()), "vec_id")
+        .agg((F.countDistinct("ingest_batch") > 1).alias("multi_batch_hits"))
     )
     return flagged.crossJoin(F.broadcast(verdict)).orderBy("q_id", "rank")

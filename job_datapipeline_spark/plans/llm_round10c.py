@@ -41,7 +41,13 @@ from .queries import register
 
 _PQ_M = 8       # subspaces
 _PQ_SUB = 8     # dims per subspace (8 x 8 = the 64-dim testdata width)
-_PQ_KS = 16     # codebook entries per subspace (corpus ids 0..15)
+_PQ_KS = 16     # codebook entries per subspace
+# Codebook ids are drawn from CORPUS-ONLY vectors: ids < 18 excluding the
+# query residue (% 10 == 3 strips 3 and 13), leaving exactly _PQ_KS = 16
+# entries.  The r10 advice flagged the original `vec_id < 16` draw as a
+# mild query leak (it trained the quantizer on query vectors 3 and 13),
+# breaking the query/corpus separation R10_IVF_CENTS maintains.
+_PQ_CB_MAX = 18
 _PQ_CAND = 20   # ADC candidates per query fed to the exact rerank
 _PQ_TOPK = 5
 
@@ -70,7 +76,8 @@ def _sql_l2sq_micro(a: str, b: str) -> str:
         SELECT vec_id AS c, j,
                list_slice(embedding, j * {_PQ_SUB} + 1,
                           j * {_PQ_SUB} + {_PQ_SUB}) AS cvec
-        FROM embeddings CROSS JOIN js WHERE vec_id < {_PQ_KS}
+        FROM embeddings CROSS JOIN js
+        WHERE vec_id < {_PQ_CB_MAX} AND vec_id % 10 <> 3
     ),
     csub AS (
         SELECT vec_id, j,
@@ -176,9 +183,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(_PQ_M)
     ])
-    # codebook: KS x M sub-vectors — kilobytes, reused by encode AND LUT
+    # codebook: KS x M sub-vectors — kilobytes, reused by encode AND LUT;
+    # corpus-only ids (query residue excluded — no quantizer leak)
     cb = (
-        emb.filter(F.col("vec_id") < _PQ_KS)
+        emb.filter((F.col("vec_id") < _PQ_CB_MAX) & (F.col("vec_id") % 10 != 3))
         .select(F.col("vec_id").alias("c"), F.inline(subspaces))
         .withColumnRenamed("svec", "cvec")
         .localCheckpoint()

