@@ -69,11 +69,35 @@ def _shingles(df: DataFrame, text_col: str, n: int) -> DataFrame:
     shingle array in its own projection below the Generate measured 3-6x
     slower on the jaccard path (the wide array column crosses an extra
     operator boundary); inlining the array expression as the generator
-    child keeps it inside the Generate node.
+    child keeps it inside the Generate node.  (That measurement is about
+    one LAZY codegen pipeline — exploding a MATERIALIZED array column from
+    a checkpointed ``shingle_string_arrays`` frame has no such penalty,
+    which is what makes the shared prebuilt-shingle path viable.)
     """
     pg = _projected_grams(df, text_col, n)
     return pg.select("*", F.explode(_distinct_shingles()).alias("shingle")).drop(
         "_toks", "_grams"
+    )
+
+
+def shingle_string_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The SHARED shingle stage: distinct word n-gram shingle STRINGS per
+    document as ``(id, _shs array<string>)`` — the common prefix of both
+    :func:`minhash_signatures` (which md5s the strings) and
+    :func:`jaccard_pairs` (which xxhash64s them).  Build it once per
+    corpus, materialize (localCheckpoint / persisted table), and feed both
+    operators via their ``shingles=`` input: the tokenize -> n-gram ->
+    distinct pipeline — the dominant map-side cost of both — then runs
+    ONCE instead of once per consumer (the r9 dedup-QA-trio memo's missing
+    lever, closed in r11).  At 100 TB this frame is a persisted column of
+    the corpus table, written at ingest."""
+    return _shingle_array(df.select(id_col, text_col), text_col, shingle_n).select(
+        id_col, "_shs"
     )
 
 
@@ -91,10 +115,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for seed i,
     min over shingles of ((h * (2i+1) + 7919*i) mod P) where
     h = conv(md5(shingle)[:15], 16, 10) mod P.
+
+    ``shingles``: optional prebuilt ``(id, _shs)`` frame from
+    :func:`shingle_string_arrays` — pass the SAME materialized frame here
+    and to :func:`jaccard_pairs` to shingle the corpus once for both.
+    Semantics are identical either way (the default path builds the same
+    frame inline).
 
     One md5 per shingle (not per shingle x seed — measured 2.4x faster at
     sf0.1) followed by a multiply-add hash family over the 60-bit base
@@ -109,7 +140,11 @@ def minhash_signatures(
     naive explode(shingles) x seeds form shuffles |docs| x |shingles| x
     num_hashes rows into a groupBy for the identical result.
     """
-    arr = _shingle_array(df.select(id_col, text_col), text_col, shingle_n)
+    arr = (
+        shingles
+        if shingles is not None
+        else _shingle_array(df.select(id_col, text_col), text_col, shingle_n)
+    )
     base = arr.select(
         id_col,
         F.transform(
@@ -221,7 +256,11 @@ def lsh_candidate_pairs(
 
 
 def _shingle_arrays(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc shingle-hash array, ordered by ascending GLOBAL shingle
     document-frequency (the AllPairs canonical order: rare shingles first,
@@ -230,10 +269,20 @@ def _shingle_arrays(
     Output: (id, shs: array<bigint>, n_sh). The frequency join is a plain
     join on purpose — the freq side is |distinct shingles| and must NOT be
     force-broadcast at 100 TB; AQE broadcasts it when it is actually small.
+
+    ``shingles``: optional prebuilt ``(id, _shs)`` string-array frame
+    (:func:`shingle_string_arrays`) — exploding a MATERIALIZED array
+    column skips the whole tokenize/n-gram stage and carries none of the
+    lazy-pipeline penalty the :func:`_shingles` docstring describes.
     """
-    sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(
-        id_col, F.xxhash64("shingle").alias("sh_h")
-    )
+    if shingles is not None:
+        sh = shingles.select(id_col, F.explode("_shs").alias("shingle")).select(
+            id_col, F.xxhash64("shingle").alias("sh_h")
+        )
+    else:
+        sh = _shingles(df.select(id_col, text_col), text_col, shingle_n).select(
+            id_col, F.xxhash64("shingle").alias("sh_h")
+        )
     freq = sh.groupBy("sh_h").agg(F.count("*").alias("_freq"))
     return (
         sh.join(freq, "sh_h")
@@ -288,8 +337,13 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """ALL pairs with n-gram Jaccard >= threshold — AllPairs/PPJoin style.
+
+    ``shingles``: optional prebuilt ``(id, _shs)`` frame from
+    :func:`shingle_string_arrays`, shared with :func:`minhash_signatures`
+    — one shingle build feeding both operators.
 
     Naive form is a full shingle self-join: every pair sharing ANY shingle
     materializes, almost all far below threshold (measured 21.5M candidate
@@ -320,7 +374,7 @@ def jaccard_pairs(
     """
     t = float(threshold)
     te = max(t - _PREFILTER_EPS, 0.0)
-    arrays = _shingle_arrays(df, text_col, id_col, shingle_n).withColumn(
+    arrays = _shingle_arrays(df, text_col, id_col, shingle_n, shingles).withColumn(
         "_plen", F.col("n_sh") - F.ceil(F.lit(te) * F.col("n_sh")).cast("int") + 1
     )
     arrays = arrays.localCheckpoint()

@@ -1265,13 +1265,17 @@ def _planted_dedup_artifact(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
     """Session-scoped LAZY memo of the planted-corpus measurement
-    artifacts the dedup QA trio shares:
+    artifacts the dedup QA family shares:
 
-    - ``corpus``       the checkpointed planted corpus
-    - ``sigs``         its MinHash signature frame (_NDD_HASHES seeds)
-    - ``pairs_floor``  exact PPJoin pairs at the loosest (0.5) floor
-    - ``cand_prod``    LSH candidates at the PRODUCTION config
-                       (_NDD_BANDS x _NDD_RPB)
+    - ``corpus``          the checkpointed planted corpus
+    - ``shingle_arrays``  its distinct shingle STRINGS per doc (the r11
+                          shared stage: ONE tokenize/n-gram build feeds
+                          both the signature and the PPJoin pipelines via
+                          the operators' ``shingles=`` input)
+    - ``sigs``            its MinHash signature frame (_NDD_HASHES seeds)
+    - ``pairs_floor``     exact PPJoin pairs at the loosest (0.5) floor
+    - ``cand_prod``       LSH candidates at the PRODUCTION config
+                          (_NDD_BANDS x _NDD_RPB)
 
     dedup_minhash_estimate_accuracy, dedup_lsh_tuning_curve and
     corpus_dedup_threshold_curve each need some subset and each used to
@@ -1296,15 +1300,21 @@ def _planted_dedup_artifact(
             del _DEDUP_ARTIFACTS[k]
         if name == "corpus":
             df = _planted_corpus(spark, sf_dir).localCheckpoint()
+        elif name == "shingle_arrays":
+            df = _D.shingle_string_arrays(
+                _planted_dedup_artifact(spark, sf_dir, "corpus")
+            ).localCheckpoint()
         elif name == "sigs":
             df = _D.minhash_signatures(
                 _planted_dedup_artifact(spark, sf_dir, "corpus"),
                 num_hashes=_NDD_HASHES,
+                shingles=_planted_dedup_artifact(spark, sf_dir, "shingle_arrays"),
             ).localCheckpoint()
         elif name == "pairs_floor":
             df = _D.jaccard_pairs(
                 _planted_dedup_artifact(spark, sf_dir, "corpus"),
                 threshold=_DEDUP_PAIR_FLOOR,
+                shingles=_planted_dedup_artifact(spark, sf_dir, "shingle_arrays"),
             ).localCheckpoint()
         elif name == "cand_prod":
             df = _D.lsh_candidate_pairs(
@@ -1383,11 +1393,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
            "SELECT id_a, id_b FROM cand",
     doc="LSH candidate pairs: banded self-equi-join on (band, band_sig) over "
         "the planted-duplicate corpus — the scale-safe O(collisions) "
-        "alternative to the O(n^2) pair space.",
+        "alternative to the O(n^2) pair space. Draws the session memo's "
+        "production-config candidate frame (whose signatures consume the "
+        "r11 shared shingle build).",
 )
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _D.minhash_signatures(_planted_corpus(spark, sf_dir), num_hashes=_NDD_HASHES)
-    return _D.lsh_candidate_pairs(sigs, bands=_NDD_BANDS, rows_per_band=_NDD_RPB)
+    return _planted_dedup_artifact(spark, sf_dir, "cand_prod")
 
 
 @register(
@@ -1408,11 +1419,18 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
     """,
     doc="Exact n-gram Jaccard pairs >= 0.5 over the planted corpus. "
-        "Standalone form (shingle self-join); the composed pipeline "
-        "(dedup_near_composed) restricts this to LSH candidates.",
+        "Standalone form (PPJoin prefix/length/positional prunes); the "
+        "composed pipeline (dedup_near_composed) restricts this to LSH "
+        "candidates. Draws the session memo's 0.5-floor pair frame — "
+        "which itself consumes the SHARED shingle build (one tokenize/"
+        "n-gram pass feeding both minhash_signatures and jaccard_pairs, "
+        "the r9-deferred lever shipped in r11) — so the trio and this "
+        "query collapse to one PPJoin per session.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _D.jaccard_pairs(_planted_corpus(spark, sf_dir), threshold=0.5)
+    # 0.5 IS the memo floor: lossless prunes mean the floor frame is this
+    # query's exact output (the corpus_dedup_threshold_curve precedent)
+    return _planted_dedup_artifact(spark, sf_dir, "pairs_floor")
 
 
 _SIMHASH_BITS = 16
