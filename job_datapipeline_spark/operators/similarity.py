@@ -147,29 +147,25 @@ def ivf_assign(
     An EMPTY centroid frame (bad centroid ids, or a corpus filter that
     excludes them all) would make every downstream assignment — and so
     every index write, append, and probe — silently empty.  The guard
-    below fails the job loudly instead.  A broadcast-crossJoin guard (the
-    exact_rank_values pattern) is NOT enough here: when the centroid side
-    is empty the assign join itself materializes empty and AQE's
-    empty-relation propagation prunes the guard's broadcast before it is
-    ever built.  So the guard rides a UNION sentinel branch instead — a
-    1-row aggregate of the centroid count (groupBy().agg yields one row
-    even on empty input) filtered by a predicate that EMBEDS the
-    ``assert_true``: evaluating the filter on that one row fires the
-    assert when the count is zero and drops the row otherwise, and the
-    branch can never be pruned because the optimizer cannot prove a
-    data-dependent filter over a 1-row aggregate empty.  Cost: one
-    kilobyte-frame aggregate per assignment, zero rows contributed."""
-    d = F.round(l2_distance(F.col(vec_col), F.col("_cent")), 6)
-    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
-    assigned = (
-        df.join(F.broadcast(cents))
-        .withColumn("_d", d)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= out_rank)
-        .drop("_cent", "_d", "_r")
-        .withColumnRenamed("cid", "cell")
-    )
-    nc = cents.groupBy().agg(
+    below fails the job loudly instead: a 1-row aggregate of the centroid
+    count (groupBy().agg yields one row even on empty input) carries an
+    ``assert_true`` and is broadcast-crossJoined onto the DATA side
+    BEFORE the centroid join.  Placement is the whole trick (the
+    exact_rank_values pattern, plus an AQE lesson): a guard attached
+    AFTER the assign join sits downstream of the join that goes empty,
+    so AQE's empty-relation propagation prunes it before its broadcast
+    is ever built; attached to the non-empty df side, the guard
+    broadcast is a first-wave leaf stage whose build evaluates the
+    assert.  The ``coalesce(1)`` matters too: it keeps the count
+    aggregate shuffle-free, so the assert projection executes INSIDE the
+    broadcast build's single stage — with a two-stage agg the assert
+    lives above the shuffle and the empty-propagation replan eliminates
+    it before its stage is ever created.  (A union-sentinel variant was
+    rejected: Union's constraint rewrite crashes on localCheckpoint
+    inputs whose LogicalRDD carries stale origin constraints.)  Cost:
+    one kilobyte-frame single-partition count and a 1-row broadcast per
+    assignment, constant at any corpus scale."""
+    nc = cents.coalesce(1).groupBy().agg(
         F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("_nc")
     )
     chk = F.assert_true(
@@ -179,16 +175,21 @@ def ivf_assign(
             "would be silently empty (check centroid ids / corpus filter)"
         ),
     )
-    # the filter value must be DATA-DEPENDENT (_nc < 0, never true for a
-    # count) — a literal false would let SimplifyConditionals/PruneFilters
-    # prove the branch empty and drop it, assert and all
-    sentinel = nc.where(F.when(chk.isNull(), F.col("_nc") < 0)).select(
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in assigned.schema.fields
-        ]
+    guard = nc.select(F.when(chk.isNull(), F.col("_nc")).alias("_nc"))
+    d = F.round(l2_distance(F.col(vec_col), F.col("_cent")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
+    return (
+        df.crossJoin(F.broadcast(guard))
+        .join(F.broadcast(cents))
+        .withColumn("_d", d)
+        .withColumn("_r", F.row_number().over(w))
+        # the `_nc >= 0` conjunct is an always-true, non-foldable consumer
+        # of the guarded count: without a downstream reference, column
+        # pruning strips the assert projection out of the broadcast build
+        .filter((F.col("_r") <= out_rank) & (F.col("_nc") >= 0))
+        .drop("_cent", "_d", "_r", "_nc")
+        .withColumnRenamed("cid", "cell")
     )
-    return assigned.unionByName(sentinel)
 
 
 def ivf_index_write(
@@ -210,19 +211,41 @@ def ivf_index_write(
       scan) and never recomputes a corpus norm.
 
     Centroids are corpus vectors at fixed ids (the training-free
-    quantizer of :func:`ivf_topk`; a k-means refinement would slot in
-    identically).  Floats round-trip parquet bit-exactly, so a probe of
-    the persisted index equals the in-session :func:`ivf_topk` plan —
-    the ``ann_ivf_index_roundtrip`` oracle certifies exactly that."""
+    quantizer of :func:`ivf_topk`); :func:`ivf_index_write_frame` is the
+    TRAINED-quantizer form — pass it k-means-refined centroids and the
+    rest of the layout is identical.  Floats round-trip parquet
+    bit-exactly, so a probe of the persisted index equals the in-session
+    :func:`ivf_topk` plan — the ``ann_ivf_index_roundtrip`` oracle
+    certifies exactly that."""
     cents = corpus.filter(F.col(corpus_id).isin(*centroid_ids)).select(
-        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("_cent")
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cent")
     )
-    cents.withColumnRenamed("_cent", "cent").write.mode("overwrite").parquet(
-        path + "/centroids"
+    ivf_index_write_frame(corpus, path, cents, corpus_id, vec_col)
+
+
+def ivf_index_write_frame(
+    corpus: DataFrame,
+    path: str,
+    cents: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """:func:`ivf_index_write` with an explicit quantizer FRAME
+    ``(cid, cent)`` — the production shape where the centroids come from
+    a training step (k-means refinement) rather than fixed corpus ids.
+
+    The quantizer is persisted FIRST and the corpus assignment runs
+    against the read-back parquet: the cells are keyed by exactly the
+    quantizer a later probe will read (no train-pipeline lineage, no
+    recompute of an aggregation-derived centroid frame, no float drift —
+    doubles round-trip parquet bit-exactly)."""
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    persisted = corpus.sparkSession.read.parquet(path + "/centroids").select(
+        "cid", F.col("cent").alias("_cent")
     )
     assigned = ivf_assign(
         corpus.select(corpus_id, F.col(vec_col).alias("_v")),
-        cents,
+        persisted,
         corpus_id,
         1,
     )

@@ -7955,6 +7955,7 @@ from . import llm_round10c  # noqa: E402,F401  (ann_pq_adc_topk: product quantiz
 from . import llm_round10d  # noqa: E402,F401  (agg_kmv_theta_sketch_ops: mergeable distinct sketches with union/intersection)
 from . import llm_round10e  # noqa: E402,F401  (embedding_matryoshka_overlap: prefix-dim truncation quality curve)
 from . import llm_round10f  # noqa: E402,F401  (tokenizer_unigram_encode: fixed-vocab Viterbi inference + byte fallback)
+from . import llm_round11a  # noqa: E402,F401  (ann_ivf_trained_index: Lloyd-trained quantizer -> persisted IVF -> probe)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

@@ -84,3 +84,31 @@ def test_recursive_child_session_cached(spark):
     assert a is b
     assert a is not spark
     assert a.conf.get("spark.sql.cteRecursionRowLimit") == "100000000"
+
+
+def test_trained_index_quantizer_moved(spark):
+    """ann_ivf_trained_index: the persisted quantizer must be the TRAINED
+    centroids (differs from the seed vectors), every query gets exactly
+    k=5 ranked hits, and cos values match the raw-embedding cosine for
+    the returned pairs (the probe serves real vectors, not artifacts)."""
+    df = REGISTRY["ann_ivf_trained_index"].fn(spark, SF_SMOKE)
+    rows = df.toPandas()
+    assert rows["quantizer_trained"].all()
+    per_q = rows.groupby("q_id")["rank"].agg(["count", "min", "max"])
+    assert (per_q["count"] == 5).all()
+    assert (per_q["min"] == 1).all()
+    assert (per_q["max"] == 5).all()
+    # spot-check one hit's cosine against the raw embeddings
+    import math
+    r0 = rows.iloc[0]
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id").isin(int(r0["q_id"]), int(r0["vec_id"])))
+        .toPandas()
+        .itertuples()
+    }
+    a, b = emb[r0["q_id"]], emb[r0["vec_id"]]
+    dot = sum(x * y for x, y in zip(a, b))
+    cos = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    assert abs(round(cos, 4) - r0["cos"]) < 1e-9
