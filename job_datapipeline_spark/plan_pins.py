@@ -163,6 +163,17 @@ KNOWN: dict[str, tuple[int | None, str]] = {
         "except the corpus codes is a broadcast (LUT, candidates, the "
         "10-row query frame) and the brute window is the labeled "
         "small-scale-only recall verdict, exactly as ann_sq8_rerank"),
+    "ann_ivf_pq_topk": (20,
+        "the faiss-IVFPQ composition: ann_pq_adc_topk's 13 designed "
+        "stages (min_by encode, broadcast-LUT integer ADC sum, candidate/"
+        "rerank/brute-recall windows) PLUS the IVF half — two ivf_assign "
+        "passes (corpus cells, query multi-probe) each carrying its "
+        "1-row empty-quantizer guard broadcast, and the cell-restricted "
+        "code join whose broadcast side is |Q| x nprobe x 128 LUT rows. "
+        "Every added exchange is a kilobyte broadcast or a per-query "
+        "window; the only corpus-sized streams are the code table "
+        "(cell-pruned at 100 TB — the persisted-index layout) and the "
+        "labeled small-scale brute-recall verdict"),
     "ann_sq8_rerank": (9,
         "5 of the 9 are kilobyte BroadcastExchanges (query codes, "
         "candidate ids, recall flags); the 4 hash shuffles are the "

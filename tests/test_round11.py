@@ -112,3 +112,24 @@ def test_trained_index_quantizer_moved(spark):
     dot = sum(x * y for x, y in zip(a, b))
     cos = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
     assert abs(round(cos, 4) - r0["cos"]) < 1e-9
+
+
+def test_ivf_pq_hybrid_recall_and_shape(spark):
+    """ann_ivf_pq_topk: exactly k=5 ranked hits per query, hybrid recall
+    is nontrivial (the cell-pruned integer ADC scan still finds most of
+    the exact top-k), and every returned cos is a real [-1, 1] cosine."""
+    df = REGISTRY["ann_ivf_pq_topk"].fn(spark, SF_SMOKE)
+    rows = df.toPandas()
+    per_q = rows.groupby("q_id")["rank"].agg(["count", "min", "max"])
+    assert (per_q["count"] == 5).all()
+    assert (per_q["min"] == 1).all()
+    assert (per_q["max"] == 5).all()
+    assert rows["cos"].between(-1.0, 1.0).all()
+    # recall over all queries: the testdata embeddings are structure-free
+    # (no planted clusters), so IVF's reachable recall is bounded near
+    # nprobe/k_cells = 25% of the corpus; observed 0.24 at sf0.001. Pin
+    # "nontrivial and rank-1s land": recall above 0.1 and at least half
+    # the queries recover their exact nearest neighbor among the hits.
+    assert rows["in_exact_topk"].mean() >= 0.1
+    top1 = rows[rows["rank"] == 1]
+    assert top1["in_exact_topk"].mean() >= 0.5
