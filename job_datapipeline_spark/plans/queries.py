@@ -7957,6 +7957,7 @@ from . import llm_round10e  # noqa: E402,F401  (embedding_matryoshka_overlap: pr
 from . import llm_round10f  # noqa: E402,F401  (tokenizer_unigram_encode: fixed-vocab Viterbi inference + byte fallback)
 from . import llm_round11a  # noqa: E402,F401  (ann_ivf_trained_index: Lloyd-trained quantizer -> persisted IVF -> probe)
 from . import llm_round11b  # noqa: E402,F401  (ann_ivf_pq_topk: faiss-IVFPQ hybrid — cell-pruned integer ADC scan)
+from . import llm_round11c  # noqa: E402,F401  (ann_filtered_topk: metadata-filtered vector search, pre- vs post-filter)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that

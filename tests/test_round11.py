@@ -133,3 +133,30 @@ def test_ivf_pq_hybrid_recall_and_shape(spark):
     assert rows["in_exact_topk"].mean() >= 0.1
     top1 = rows[rows["rank"] == 1]
     assert top1["in_exact_topk"].mean() >= 0.5
+
+
+def test_filtered_topk_semantics(spark):
+    """ann_filtered_topk: every returned hit matches its query's target
+    label (the pre-filter guarantee), each query gets exactly k=5 hits,
+    and the post-filter comparison shows a real deficit somewhere."""
+    df = REGISTRY["ann_filtered_topk"].fn(spark, SF_SMOKE)
+    rows = df.toPandas()
+    per_q = rows.groupby("q_id")["rank"].agg(["count", "min", "max"])
+    assert (per_q["count"] == 5).all()
+    assert (per_q["min"] == 1).all()
+    assert (per_q["max"] == 5).all()
+    # pre-filter guarantee: verify labels against the raw table
+    labels = {
+        r.vec_id: r.label
+        for r in table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .toPandas()
+        .itertuples()
+    }
+    assert all(labels[v] == t for v, t in zip(rows["vec_id"], rows["target_label"]))
+    # the 10 queries sweep all 10 labels
+    assert sorted(rows["target_label"].unique()) == list(range(10))
+    # post-filter failure is real at smoke scale (10% selectivity vs a
+    # 25-deep shortlist) and post_hits is bounded by k
+    assert rows["post_deficit"].all()
+    assert rows["post_hits"].between(0, 5).all()
