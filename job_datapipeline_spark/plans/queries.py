@@ -7829,10 +7829,100 @@ _R9_STALEST = (
     "populator_contains_match",
 )
 
+# ---------------------------------------------------------------------------
+# Round-11 window: 3 new + 16 changed-code + 31 stalest (the 23 remaining
+# r3 certifications, then the 8 alphabetically-first r4 ones), per
+# `python tools/cert_ledger.py`.  The changed-code lane enumerates every
+# certified query whose plan/operator code the r11 diff touches:
+#   - operators/similarity.py (ivf_assign empty-quantizer guard;
+#     ivf_index_write -> ivf_index_write_frame refactor) touched
+#     ann_ivf_topk, ann_ivf_index_roundtrip, streaming_ann_index_ingest;
+#   - plans/llm_round10b.py (real batch_id stamps) touched
+#     streaming_ann_index_ingest; plans/llm_round10c.py (corpus-only
+#     codebook) touched ann_pq_adc_topk; plans/llm_round8f.py (cached
+#     child session) touched sql_recursive_hierarchy;
+#   - operators/dedup.py (shared shingle stage: shingle_string_arrays +
+#     shingles= inputs on minhash_signatures/jaccard_pairs/_shingle_arrays)
+#     touched every minhash/jaccard/_shingle_arrays caller:
+#     dedup_minhash_signatures, dedup_jaccard_pairs, dedup_lsh_candidates
+#     (bodies also rewired to the memo), dedup_edit_distance_verify,
+#     dedup_incremental_batch, dedup_state_roundtrip,
+#     dedup_containment_pairs, streaming_dedup_state_ingest;
+#   - the _planted_dedup_artifact memo (new shingle_arrays artifact)
+#     touched its other consumers: dedup_minhash_estimate_accuracy,
+#     corpus_dedup_threshold_curve, dedup_lsh_tuning_curve.
+# ---------------------------------------------------------------------------
+
+_R11_NEW = (
+    "ann_ivf_trained_index",
+    "ann_ivf_pq_topk",
+    "ann_filtered_topk",
+)
+
+_R11_CHANGED = (
+    # similarity.py ivf_assign guard + write_frame refactor
+    "ann_ivf_topk",
+    "ann_ivf_index_roundtrip",
+    "streaming_ann_index_ingest",
+    # llm_round10c corpus-only codebook
+    "ann_pq_adc_topk",
+    # llm_round8f cached child session
+    "sql_recursive_hierarchy",
+    # dedup.py shared shingle stage (operator API) + memo + query bodies
+    "dedup_minhash_signatures",
+    "dedup_jaccard_pairs",
+    "dedup_lsh_candidates",
+    "dedup_edit_distance_verify",
+    "dedup_incremental_batch",
+    "dedup_state_roundtrip",
+    "dedup_containment_pairs",
+    "streaming_dedup_state_ingest",
+    # _planted_dedup_artifact memo consumers
+    "dedup_minhash_estimate_accuracy",
+    "corpus_dedup_threshold_curve",
+    "dedup_lsh_tuning_curve",
+)
+
+_R11_STALEST = (
+    # the 23 remaining r3 certifications (ledger order: name asc)
+    "events_gapfill_hourly",
+    "events_retention_cohorts",
+    "join_asof_forward_event",
+    "join_asof_nearest_tolerance",
+    "join_asof_order_event",
+    "join_salted_hotkeys",
+    "join_salted_skew",
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "sink_roundtrip_newest_partition",
+    "streaming_dedup_events",
+    "streaming_hourly_rollup",
+    "streaming_incremental_parquet",
+    "streaming_sessionize_stateful",
+    "streaming_view_click_attribution",
+    "text_bigram_logprob",
+    "text_pii_redact",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_winnow_fingerprints",
+    "window_range_frame",
+    "window_rank_family",
+    # then r4 certifications, name asc
+    "agg_bitmap_distinct",
+    "agg_bool_countif",
+    "agg_decimal_exact",
+    "agg_multi_distinct",
+    "agg_quantile_sketch_mergeable",
+    "agg_robust_mad",
+    "agg_sketch_mergeable",
+    "agg_stats_suite",
+)
+
 _DRIVER_WINDOW_FIRST = (
-    _R10_NEW
-    + _R10_CHANGED
-    + _R10_STALEST[: 50 - len(_R10_NEW) - len(_R10_CHANGED)]
+    _R11_NEW
+    + _R11_CHANGED
+    + _R11_STALEST[: 50 - len(_R11_NEW) - len(_R11_CHANGED)]
 )
 
 def _in_partial_plans_import() -> bool:
@@ -7863,12 +7953,12 @@ def _reorder_registry() -> None:
         raise AssertionError(f"priority list names unknown queries: {missing}")
     if len(set(_DRIVER_WINDOW_FIRST)) != len(_DRIVER_WINDOW_FIRST):
         raise AssertionError("duplicate names in priority list")
-    if len(_R10_NEW) > 14:
+    if len(_R11_NEW) > 14:
         raise AssertionError(
             "registry growth cap exceeded (verdict: <= ~14 new per round so "
-            f"the stalest rotation keeps pace), got {len(_R10_NEW)} new"
+            f"the stalest rotation keeps pace), got {len(_R11_NEW)} new"
         )
-    overlap = set(_R10_CHANGED) & set(_R10_STALEST)
+    overlap = set(_R11_CHANGED) & set(_R11_STALEST)
     if overlap:
         raise AssertionError(
             f"lane/stalest overlap (list each query once): {sorted(overlap)}"
