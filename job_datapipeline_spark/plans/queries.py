@@ -1493,15 +1493,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path as ONE callable plan, not prose.",
 )
 def dedup_near_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the corpus feeds three stages inside near_dedup (signatures, verify
-    # semi-prune, final anti-join) — materialize the planted frame once
-    kept = _D.near_dedup(
-        _planted_corpus(spark, sf_dir).localCheckpoint(),
-        num_hashes=_NDD_HASHES,
-        bands=_NDD_BANDS,
-        threshold=0.8,
+    # Composed from the session memo's certified artifacts (r11): the
+    # memo's cand_prod IS near_dedup's candidate set (_NDD_BANDS x
+    # _NDD_RPB = the same 8-hash/4-band config), and the exact Jaccard of
+    # a candidate pair IS its pairs_floor row (same _jaccard_from_arrays
+    # device, same 6dp rounding; candidates below the 0.5 floor are below
+    # 0.8 a fortiori), so verified-at-0.8 == pairs_floor >= 0.8 SEMI-
+    # JOINED to the candidates, and the keep rule (drop id_b of any
+    # verified pair) replays near_dedup exactly. One shingle build, one
+    # signature pass, one PPJoin per session for the whole family.
+    corpus = _planted_dedup_artifact(spark, sf_dir, "corpus")
+    cand = _planted_dedup_artifact(spark, sf_dir, "cand_prod")
+    drops = (
+        _planted_dedup_artifact(spark, sf_dir, "pairs_floor")
+        .filter(F.col("jaccard") >= 0.8)
+        .join(cand, ["id_a", "id_b"], "semi")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
     )
-    return kept.select("doc_id")
+    return corpus.join(drops, "doc_id", "left_anti").select("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -7881,6 +7891,8 @@ _R11_CHANGED = (
     "dedup_minhash_estimate_accuracy",
     "corpus_dedup_threshold_curve",
     "dedup_lsh_tuning_curve",
+    # body recomposed onto the memo artifacts (cand_prod semi pairs_floor)
+    "dedup_near_composed",
 )
 
 _R11_STALEST = (
