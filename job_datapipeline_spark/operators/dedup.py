@@ -627,13 +627,20 @@ def winnow_fingerprints(
     fingerprints (mirrored by the oracle's length guard).
     """
     # explicit length guard: sequence(1, 0) in Spark is DESCENDING [1, 0]
-    # (step defaults to -1 when start > stop), not empty
-    hs = df.select(
+    # (step defaults to -1 when start > stop), not empty.
+    # lower(text) is HOISTED into its own multi-referenced projection:
+    # referenced inside the per-position transform lambda it is
+    # re-evaluated per k-gram (O(len^2) character work per doc — the same
+    # Catalyst inlining trap the _hs double-reference below guards
+    # against); hoisted, the row computes it once. Measured 3.83 -> 2.95 s
+    # on the sf0.1 2000-doc slice, identical output.
+    lowered = df.select(id_col, F.lower(F.col(text_col)).alias("_lt"))
+    hs = lowered.select(
         id_col,
         F.expr(
-            f"CASE WHEN length(lower({text_col})) >= {k} THEN "
-            f"transform(sequence(1, length(lower({text_col})) - {k - 1}), "
-            f"i -> substring(md5(substring(lower({text_col}), i, {k})), 1, 8)) "
+            f"CASE WHEN length(_lt) >= {k} THEN "
+            f"transform(sequence(1, length(_lt) - {k - 1}), "
+            f"i -> substring(md5(substring(_lt, i, {k})), 1, 8)) "
             "ELSE CAST(array() AS array<string>) END"
         ).alias("_hs"),
     )

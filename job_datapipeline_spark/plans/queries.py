@@ -7893,6 +7893,8 @@ _R11_CHANGED = (
     "dedup_lsh_tuning_curve",
     # body recomposed onto the memo artifacts (cand_prod semi pairs_floor)
     "dedup_near_composed",
+    # winnow_fingerprints lower(text) hoist (operators/dedup.py)
+    "text_winnow_fingerprints",
 )
 
 _R11_STALEST = (
@@ -7917,7 +7919,6 @@ _R11_STALEST = (
     "text_repetition",
     "text_tfidf_top_terms",
     "text_unigram_logprob",
-    "text_winnow_fingerprints",
     "window_range_frame",
     "window_rank_family",
     # then r4 certifications, name asc
