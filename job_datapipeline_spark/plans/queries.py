@@ -1276,6 +1276,11 @@ def _planted_dedup_artifact(
     - ``pairs_floor``     exact PPJoin pairs at the loosest (0.5) floor
     - ``cand_prod``       LSH candidates at the PRODUCTION config
                           (_NDD_BANDS x _NDD_RPB)
+    - ``capped_corpus``   the _CC_CAP-capped planted corpus (the demo
+                          slice the cluster/edit-distance trio shares)
+    - ``capped_clusters`` near_dedup_clusters over it (components +
+                          representatives previously each paid the full
+                          signature/candidate/verify/iterate build)
 
     dedup_minhash_estimate_accuracy, dedup_lsh_tuning_curve and
     corpus_dedup_threshold_curve each need some subset and each used to
@@ -1321,6 +1326,17 @@ def _planted_dedup_artifact(
                 _planted_dedup_artifact(spark, sf_dir, "sigs"),
                 bands=_NDD_BANDS,
                 rows_per_band=_NDD_RPB,
+            ).localCheckpoint()
+        elif name == "capped_corpus":
+            # _capped_planted/_CC_CAP are defined later in this module;
+            # resolved at call time (the memo never runs during import)
+            df = _capped_planted(spark, sf_dir, _CC_CAP).localCheckpoint()
+        elif name == "capped_clusters":
+            df = _D.near_dedup_clusters(
+                _planted_dedup_artifact(spark, sf_dir, "capped_corpus"),
+                num_hashes=_NDD_HASHES,
+                bands=_NDD_BANDS,
+                threshold=0.8,
             ).localCheckpoint()
         else:  # pragma: no cover - caller bug
             raise KeyError(name)
@@ -2730,12 +2746,10 @@ def _capped_planted(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
         f"corpus bounded to base doc_id < {_CC_CAP}.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _D.near_dedup_clusters(
-        _capped_planted(spark, sf_dir, _CC_CAP),
-        num_hashes=_NDD_HASHES,
-        bands=_NDD_BANDS,
-        threshold=0.8,
-    )
+    # draws the session memo (r11): representatives runs the IDENTICAL
+    # near_dedup_clusters build — one signature/candidate/verify/iterate
+    # pass per session serves both
+    return _planted_dedup_artifact(spark, sf_dir, "capped_clusters")
 
 
 # ---------------------------------------------------------------------------
@@ -2978,8 +2992,10 @@ def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"length. Demo corpus bounded to base doc_id < {_CC_CAP}.",
 )
 def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # three consumers (signatures + the id_a/id_b text probes): one pass
-    corpus = _capped_planted(spark, sf_dir, _CC_CAP).localCheckpoint()
+    # capped corpus from the session memo (r11) — three consumers here
+    # (signatures + the id_a/id_b text probes) and the cluster pair's
+    # builds all read the one checkpointed frame
+    corpus = _planted_dedup_artifact(spark, sf_dir, "capped_corpus")
     sigs = _D.minhash_signatures(corpus, num_hashes=_NDD_HASHES)
     cands = _D.lsh_candidate_pairs(
         sigs, bands=_NDD_BANDS, rows_per_band=_NDD_RPB
@@ -4013,10 +4029,10 @@ def dedup_state_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"recursive-SQL reachability. Demo corpus bounded to base doc_id < {_CC_CAP}.",
 )
 def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _capped_planted(spark, sf_dir, _CC_CAP)
-    clusters = _D.near_dedup_clusters(
-        corpus, num_hashes=_NDD_HASHES, bands=_NDD_BANDS, threshold=0.8
-    )
+    # both frames from the session memo (r11): the clusters build is
+    # identical to dedup_components' — one pass per session serves both
+    corpus = _planted_dedup_artifact(spark, sf_dir, "capped_corpus")
+    clusters = _planted_dedup_artifact(spark, sf_dir, "capped_clusters")
     return (
         clusters.join(corpus, "doc_id")
         .groupBy("component_id")
@@ -7895,6 +7911,9 @@ _R11_CHANGED = (
     "dedup_near_composed",
     # winnow_fingerprints lower(text) hoist (operators/dedup.py)
     "text_winnow_fingerprints",
+    # capped-corpus/clusters memo artifacts (bodies rewired)
+    "dedup_components",
+    "dedup_cluster_representatives",
 )
 
 _R11_STALEST = (
