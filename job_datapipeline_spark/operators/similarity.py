@@ -164,7 +164,15 @@ def ivf_assign(
     rejected: Union's constraint rewrite crashes on localCheckpoint
     inputs whose LogicalRDD carries stale origin constraints.)  Cost:
     one kilobyte-frame single-partition count and a 1-row broadcast per
-    assignment, constant at any corpus scale."""
+    assignment, constant at any corpus scale.
+
+    SPARK-VERSION SENSITIVITY: this guard is built on optimizer
+    internals (AQE empty-relation propagation order, column pruning,
+    single-stage agg placement) as of Spark 4.1.x.  An upgrade could
+    turn it into a no-op that FAILS OPEN — silently-empty results, the
+    exact mode it prevents.  `tests/test_round11.py` pins it with AQE
+    both on and off; re-run those tests deliberately on any Spark
+    version bump."""
     nc = cents.coalesce(1).groupBy().agg(
         F.coalesce(F.count("*"), F.lit(0)).cast("long").alias("_nc")
     )

@@ -7856,9 +7856,10 @@ _R9_STALEST = (
 )
 
 # ---------------------------------------------------------------------------
-# Round-11 window: 3 new + 16 changed-code + 31 stalest (the 23 remaining
-# r3 certifications, then the 8 alphabetically-first r4 ones), per
-# `python tools/cert_ledger.py`.  The changed-code lane enumerates every
+# Round-11 window: 3 new + 20 changed-code + 27 stalest slots taken from
+# the 30-entry stalest pool below (the 22 remaining r3 certifications,
+# then the 8 alphabetically-first r4 ones; the slice keeps the first 27),
+# per `python tools/cert_ledger.py`.  The changed-code lane enumerates every
 # certified query whose plan/operator code the r11 diff touches:
 #   - operators/similarity.py (ivf_assign empty-quantizer guard;
 #     ivf_index_write -> ivf_index_write_frame refactor) touched
@@ -7917,7 +7918,7 @@ _R11_CHANGED = (
 )
 
 _R11_STALEST = (
-    # the 23 remaining r3 certifications (ledger order: name asc)
+    # the 22 remaining r3 certifications (ledger order: name asc)
     "events_gapfill_hourly",
     "events_retention_cohorts",
     "join_asof_forward_event",

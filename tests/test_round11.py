@@ -35,6 +35,33 @@ def test_ivf_assign_empty_centroids_raises(spark):
         out.count()
 
 
+@pytest.mark.parametrize("aqe", ["true", "false"])
+def test_ivf_assign_empty_guard_survives_aqe_toggle(spark, aqe):
+    """SPARK-VERSION SENSITIVITY PIN: the guard's placement deliberately
+    exploits optimizer internals (first-wave broadcast build, coalesce(1)
+    single-stage agg, the always-true `_nc >= 0` consumer).  A Spark
+    upgrade that changes AQE empty-relation propagation or column
+    pruning could silently turn it into a no-op — failing OPEN, the
+    exact silently-empty mode it exists to prevent.  Assert it fires
+    with AQE both on and off so an upgrade that breaks either path
+    turns this test red instead of shipping a dead guard.  (Built and
+    pinned on Spark 4.1.x — re-run deliberately on any version bump.)"""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    try:
+        emb = table(spark, SF_SMOKE, "embeddings").select(
+            "vec_id", F.col("embedding").alias("_v")
+        )
+        cents = emb.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("cid"), F.col("_v").alias("_cent")
+        )
+        out = ivf_assign(emb.limit(3), cents, "vec_id", 1, vec_col="_v")
+        with pytest.raises(Exception, match="centroid frame is empty"):
+            out.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_ivf_assign_nonempty_unaffected(spark):
     """The guard is pass-through for a healthy quantizer: assignment of
     5 vectors to 2 centroids keeps every input row exactly once."""
