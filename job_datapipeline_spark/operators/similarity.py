@@ -237,6 +237,8 @@ def ivf_index_write_frame(
     cents: DataFrame,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
+    partition_cols: tuple[str, ...] = ("cell",),
 ) -> None:
     """:func:`ivf_index_write` with an explicit quantizer FRAME
     ``(cid, cent)`` — the production shape where the centroids come from
@@ -246,13 +248,20 @@ def ivf_index_write_frame(
     against the read-back parquet: the cells are keyed by exactly the
     quantizer a later probe will read (no train-pipeline lineage, no
     recompute of an aggregation-derived centroid frame, no float drift —
-    doubles round-trip parquet bit-exactly)."""
+    doubles round-trip parquet bit-exactly).
+
+    ``meta_cols`` carries metadata columns (tenant, language, label …)
+    through the assignment into the cell partitions; listing one of them
+    in ``partition_cols`` (e.g. ``("cell", "label")``) makes it a second
+    physical partition key, so a probe that equi-joins on it gets
+    dynamic partition pruning on BOTH keys — the storage layout form of
+    "filter inside the probed cells" (filtered vector search)."""
     cents.write.mode("overwrite").parquet(path + "/centroids")
     persisted = corpus.sparkSession.read.parquet(path + "/centroids").select(
         "cid", F.col("cent").alias("_cent")
     )
     assigned = ivf_assign(
-        corpus.select(corpus_id, F.col(vec_col).alias("_v")),
+        corpus.select(corpus_id, *meta_cols, F.col(vec_col).alias("_v")),
         persisted,
         corpus_id,
         1,
@@ -260,9 +269,10 @@ def ivf_index_write_frame(
     assigned.select(
         "cell",
         corpus_id,
+        *meta_cols,
         F.col("_v").alias(vec_col),
         norm(F.col("_v")).alias("vnorm"),
-    ).write.mode("overwrite").partitionBy("cell").parquet(path + "/cells")
+    ).write.mode("overwrite").partitionBy(*partition_cols).parquet(path + "/cells")
 
 
 def ivf_index_append(
@@ -388,6 +398,237 @@ def ivf_topk(
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF+PQ index — the faiss-IVFPQ layout actually STORED.
+# ann_ivf_pq_topk (plans/llm_round11b.py) certified the in-query
+# composition; the r11 scale ladder (SCALE_GROWTH.md "IVFPQ-vs-PQ
+# ladder") measured that at 100x scale the codes must live CELL-KEYED
+# NEXT TO the cell partitions (stored codes 2.5x over full ADC; a
+# query-time cell join halves the advantage).  These operators execute
+# that layout: codes are an 8-byte-per-vector projection of the
+# persisted cells, partitioned by the same cell key, so a probe is a
+# DPP-pruned integer code scan + a float rerank that reads ONLY the
+# surviving candidates' vectors (again cell-pruned).
+# ---------------------------------------------------------------------------
+
+
+def pq_subspace_struct(vec_col, m: int, sub: int, out: str = "svec"):
+    """``F.inline``-able array of (j, sub-vector) structs: the m x sub
+    split of a vec_col, 1-based slices, j = 0..m-1."""
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.slice(vec_col, j * sub + 1, sub).alias(out),
+        )
+        for j in range(m)
+    ])
+
+
+def l2sq_micro(a, b):
+    """MICRO-unit squared L2 between two slices as an exact bigint
+    (round(l2sq * 1e6)) — the ADC integer discipline of
+    ann_pq_adc_topk: integer sums are bit-identical on any engine
+    regardless of addition order."""
+    diffs = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    s = F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
+    return F.round(s * 1_000_000.0, 0).cast("bigint")
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: DataFrame,
+    id_col: str,
+    m: int,
+    sub: int,
+    vec_col: str = "_v",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Product-quantization encode: each vector of ``df`` becomes an
+    m-entry ``codes`` array (nearest codebook entry per subspace, ties
+    by codebook id — the min_by convention of ann_pq_adc_topk).
+    ``cb`` is the codebook frame (c, j, cvec), broadcast (m x 16 rows).
+    Output: (id_col, *carry_cols, codes array<int> ordered by j).
+
+    Write-time cost: one x m explode, a broadcast join, and two partial
+    aggregates (min_by per (id, j), collect per id) — never a window,
+    never a shuffle wider than the id key."""
+    sliced = df.select(id_col, *carry_cols, F.inline(pq_subspace_struct(F.col(vec_col), m, sub)))
+    enc = (
+        sliced.join(F.broadcast(cb), "j")
+        .select(
+            id_col, *carry_cols, "j", "c",
+            l2sq_micro(F.col("svec"), F.col("cvec")).alias("_d"),
+        )
+        .groupBy(id_col, *carry_cols, "j")
+        .agg(F.min_by("c", F.struct("_d", "c")).alias("code"))
+    )
+    return enc.groupBy(id_col, *carry_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda x: x["code"].cast("int"),
+        ).alias("codes")
+    )
+
+
+def ivf_pq_index_write_frame(
+    corpus: DataFrame,
+    path: str,
+    cents: DataFrame,
+    cb: DataFrame,
+    m: int,
+    sub: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST the IVF+PQ index: four tables under ``path`` —
+    ``centroids`` (the coarse quantizer), ``codebook`` (c, j, cvec; the
+    m x 16 PQ codebook), ``cells`` (cell-partitioned vectors + norms,
+    exactly :func:`ivf_index_write_frame`), and ``codes`` (cell, id,
+    codes array) — partitioned by THE SAME cell key, the layout the r11
+    IVFPQ-vs-PQ ladder measured as the only viable 100 TB shape.
+
+    The codes are derived from the READ-BACK cells (not the input
+    lineage): the encode input already carries the persisted cell key,
+    so no corpus-wide join is needed and the codes are by construction a
+    projection of exactly the stored vectors — rebuildable from the
+    index itself if dropped."""
+    cb.write.mode("overwrite").parquet(path + "/codebook")
+    ivf_index_write_frame(corpus, path, cents, corpus_id, vec_col)
+    spark = corpus.sparkSession
+    cbp = spark.read.parquet(path + "/codebook")
+    cells = spark.read.parquet(path + "/cells").select(
+        "cell", corpus_id, F.col(vec_col).alias("_v")
+    )
+    pq_encode(cells, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
+        "cell", corpus_id, "codes"
+    ).write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+
+
+def ivf_pq_index_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    m: int,
+    sub: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted IVF+PQ index: ONLY the new
+    batch is assigned (persisted quantizer) and encoded (persisted
+    codebook); its cell partitions are appended to both ``cells`` and
+    ``codes``.  The historical corpus is never re-read, re-assigned,
+    re-normed, or re-encoded — arrival cost is
+    O(|batch| x (k_centroids + m x 16)), independent of index size."""
+    ivf_index_append(spark, path, batch, corpus_id, vec_col)
+    cbp = spark.read.parquet(path + "/codebook")
+    cents = spark.read.parquet(path + "/centroids").select(
+        "cid", F.col("cent").alias("_cent")
+    )
+    assigned = ivf_assign(
+        batch.select(corpus_id, F.col(vec_col).alias("_v")),
+        cents,
+        corpus_id,
+        1,
+    )
+    pq_encode(assigned, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
+        "cell", corpus_id, "codes"
+    ).write.mode("append").partitionBy("cell").parquet(path + "/codes")
+
+
+def ivf_pq_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    m: int,
+    sub: int,
+    k: int = 5,
+    nprobe: int = 2,
+    cand: int = 20,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+    cos_round: int = 6,
+) -> DataFrame:
+    """ANN top-k against a PERSISTED IVF+PQ index — the probe the 100 TB
+    economics are built around, touching float vectors only for the
+    final ``cand`` survivors per query:
+
+    1. queries multi-probe their ``nprobe`` nearest cells via the
+       persisted quantizer (the guarded :func:`ivf_assign` device);
+    2. a per-query integer LUT (m x 16 MICRO-unit bigints vs the
+       persisted codebook) is joined with the probe cells into a tiny
+       broadcast frame (|Q| x nprobe x m x 16 rows);
+    3. the ``codes`` table — 8 bytes/vector, partitioned by cell — is
+       scanned WITH dynamic partition pruning from the broadcast join on
+       the cell key; posexplode + LUT lookup + an integer sum per
+       (query, vector) is the whole ADC scan;
+    4. the top ``cand`` ADC candidates per query are reranked by exact
+       cosine, reading ONLY their rows from ``cells`` via a broadcast
+       join that again prunes on the cell partition key and reuses the
+       write-time ``vnorm``.
+
+    Output matches :func:`ivf_index_probe`: (q_id, vec_id, cos, rank)."""
+    cents = spark.read.parquet(path + "/centroids").select(
+        "cid", F.col("cent").alias("_cent")
+    )
+    cbp = spark.read.parquet(path + "/codebook")
+    qa = ivf_assign(
+        queries.select(query_id, F.col(vec_col).alias("_qv")),
+        cents,
+        query_id,
+        nprobe,
+        vec_col="_qv",
+    )
+    # per-query integer LUT against the persisted codebook, then keyed by
+    # the probe cells — one broadcast frame drives both the DPP cell
+    # pruning and the (j, code) lookup
+    qsub = queries.select(
+        query_id, F.inline(pq_subspace_struct(F.col(vec_col), m, sub, out="qsvec"))
+    )
+    lut = qsub.join(F.broadcast(cbp), "j").select(
+        query_id, "j", "c", l2sq_micro(F.col("qsvec"), F.col("cvec")).alias("dsq")
+    )
+    lutq = lut.join(F.broadcast(qa.select(query_id, "cell")), query_id)
+    codes = spark.read.parquet(path + "/codes")
+    exploded = codes.select(
+        "cell", corpus_id, F.posexplode("codes").alias("j", "code")
+    )
+    adc = (
+        exploded.join(
+            F.broadcast(lutq),
+            ["cell", "j"],
+        )
+        .filter(F.col("code") == F.col("c"))
+        .groupBy(query_id, "cell", corpus_id)
+        .agg(F.sum("dsq").alias("adc"))
+    )
+    w_a = Window.partitionBy(query_id).orderBy(F.asc("adc"), F.asc(corpus_id))
+    cands = (
+        adc.withColumn("_r", F.row_number().over(w_a))
+        .filter(F.col("_r") <= cand)
+        .select(query_id, "cell", corpus_id)
+    )
+    # exact rerank: vectors read ONLY for the candidates, cell-pruned
+    cells = spark.read.parquet(path + "/cells")
+    qv = queries.select(
+        query_id, F.col(vec_col).alias("_qv2"), norm(F.col(vec_col)).alias("_qn")
+    )
+    survivors = cells.join(F.broadcast(cands), ["cell", corpus_id]).join(
+        F.broadcast(qv), query_id
+    )
+    denom = F.col("vnorm") * F.col("_qn")
+    cos = F.when(denom > 0, dot(F.col(vec_col), F.col("_qv2")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    w_r = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        survivors.withColumn("cos", F.round(cos, cos_round))
+        .withColumn("rank", F.row_number().over(w_r).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos", "rank")
     )

@@ -7856,106 +7856,83 @@ _R9_STALEST = (
 )
 
 # ---------------------------------------------------------------------------
-# Round-11 window: 3 new + 20 changed-code + 27 stalest slots taken from
-# the 30-entry stalest pool below (the 22 remaining r3 certifications,
-# then the 8 alphabetically-first r4 ones; the slice keeps the first 27),
-# per `python tools/cert_ledger.py`.  The changed-code lane enumerates every
-# certified query whose plan/operator code the r11 diff touches:
-#   - operators/similarity.py (ivf_assign empty-quantizer guard;
-#     ivf_index_write -> ivf_index_write_frame refactor) touched
-#     ann_ivf_topk, ann_ivf_index_roundtrip, streaming_ann_index_ingest;
-#   - plans/llm_round10b.py (real batch_id stamps) touched
-#     streaming_ann_index_ingest; plans/llm_round10c.py (corpus-only
-#     codebook) touched ann_pq_adc_topk; plans/llm_round8f.py (cached
-#     child session) touched sql_recursive_hierarchy;
-#   - operators/dedup.py (shared shingle stage: shingle_string_arrays +
-#     shingles= inputs on minhash_signatures/jaccard_pairs/_shingle_arrays)
-#     touched every minhash/jaccard/_shingle_arrays caller:
-#     dedup_minhash_signatures, dedup_jaccard_pairs, dedup_lsh_candidates
-#     (bodies also rewired to the memo), dedup_edit_distance_verify,
-#     dedup_incremental_batch, dedup_state_roundtrip,
-#     dedup_containment_pairs, streaming_dedup_state_ingest;
-#   - the _planted_dedup_artifact memo (new shingle_arrays artifact)
-#     touched its other consumers: dedup_minhash_estimate_accuracy,
-#     corpus_dedup_threshold_curve, dedup_lsh_tuning_curve.
+# Round-12 window: 2 new + 2 changed-code + 46 stalest (the 45 remaining
+# r4 certifications, then the alphabetically-first r5 one), per
+# `python tools/cert_ledger.py`.  The changed-code lane: the r12 diff
+# extends operators/similarity.py ivf_index_write_frame with
+# meta_cols/partition_cols (consumed by ann_ivf_trained_index directly
+# and ann_ivf_index_roundtrip via ivf_index_write); ivf_assign gained
+# only docstring text (no executable change), so its wider consumer set
+# stays out of the lane.  streaming_ann_index_ingest uses only
+# ivf_index_append/probe, both untouched.
 # ---------------------------------------------------------------------------
 
-_R11_NEW = (
+_R12_NEW = (
+    "ann_ivf_pq_index",
+    "ann_ivf_filtered_probe",
+)
+
+_R12_CHANGED = (
+    # similarity.py ivf_index_write_frame meta/partition-cols extension
     "ann_ivf_trained_index",
-    "ann_ivf_pq_topk",
-    "ann_filtered_topk",
-)
-
-_R11_CHANGED = (
-    # similarity.py ivf_assign guard + write_frame refactor
-    "ann_ivf_topk",
     "ann_ivf_index_roundtrip",
-    "streaming_ann_index_ingest",
-    # llm_round10c corpus-only codebook
-    "ann_pq_adc_topk",
-    # llm_round8f cached child session
-    "sql_recursive_hierarchy",
-    # dedup.py shared shingle stage (operator API) + memo + query bodies
-    "dedup_minhash_signatures",
-    "dedup_jaccard_pairs",
-    "dedup_lsh_candidates",
-    "dedup_edit_distance_verify",
-    "dedup_incremental_batch",
-    "dedup_state_roundtrip",
-    "dedup_containment_pairs",
-    "streaming_dedup_state_ingest",
-    # _planted_dedup_artifact memo consumers
-    "dedup_minhash_estimate_accuracy",
-    "corpus_dedup_threshold_curve",
-    "dedup_lsh_tuning_curve",
-    # body recomposed onto the memo artifacts (cand_prod semi pairs_floor)
-    "dedup_near_composed",
-    # winnow_fingerprints lower(text) hoist (operators/dedup.py)
-    "text_winnow_fingerprints",
-    # capped-corpus/clusters memo artifacts (bodies rewired)
-    "dedup_components",
-    "dedup_cluster_representatives",
 )
 
-_R11_STALEST = (
-    # the 22 remaining r3 certifications (ledger order: name asc)
-    "events_gapfill_hourly",
-    "events_retention_cohorts",
-    "join_asof_forward_event",
-    "join_asof_nearest_tolerance",
-    "join_asof_order_event",
-    "join_salted_hotkeys",
-    "join_salted_skew",
-    "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "sink_roundtrip_newest_partition",
-    "streaming_dedup_events",
-    "streaming_hourly_rollup",
-    "streaming_incremental_parquet",
-    "streaming_sessionize_stateful",
-    "streaming_view_click_attribution",
-    "text_bigram_logprob",
-    "text_pii_redact",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "window_range_frame",
-    "window_rank_family",
-    # then r4 certifications, name asc
-    "agg_bitmap_distinct",
-    "agg_bool_countif",
-    "agg_decimal_exact",
-    "agg_multi_distinct",
-    "agg_quantile_sketch_mergeable",
+_R12_STALEST = (
+    # the 45 remaining r4 certifications (ledger order: name asc)
     "agg_robust_mad",
     "agg_sketch_mergeable",
     "agg_stats_suite",
+    "agg_string_concat_groups",
+    "csv_corrupt_records",
+    "events_anomaly_zscore",
+    "events_scd2_islands",
+    "events_sessionize_dynamic_gap",
+    "events_sliding_windows",
+    "events_windowed_topk",
+    "graph_pagerank_bipartite",
+    "join_lateral_topn",
+    "join_null_safe_eq",
+    "multimodal_image_resize",
+    "multimodal_video_frames",
+    "observe_audit_metrics",
+    "parquet_schema_evolution",
+    "pivot_multi_agg",
+    "python_datasource_scan",
+    "python_datasource_write_roundtrip",
+    "python_udtf_regex_spans",
+    "quality_constraint_checks",
+    "rollup_incremental_merge",
+    "scrape_url_worklist",
+    "setops_intersect_except",
+    "sink_roundtrip_csv",
+    "sink_roundtrip_kv",
+    "streaming_foreachbatch_upsert",
+    "streaming_static_enrich",
+    "subquery_exists_high_value",
+    "subquery_scalar_above_avg",
+    "text_first_occurrence",
+    "text_gopher_rules",
+    "text_token_entropy",
+    "tpch_customer_distribution",
+    "tpch_disjunctive_filter",
+    "tpch_large_orders",
+    "tpch_order_priority_check",
+    "tpch_promo_share",
+    "tpch_shipping_priority",
+    "tpch_small_quantity_revenue",
+    "window_first_last_nth",
+    "window_ntile_quartiles",
+    "window_ratio_to_report",
+    "xml_feed_parse",
+    # then r5 certifications, name asc
+    "agg_bloom_membership",
 )
 
 _DRIVER_WINDOW_FIRST = (
-    _R11_NEW
-    + _R11_CHANGED
-    + _R11_STALEST[: 50 - len(_R11_NEW) - len(_R11_CHANGED)]
+    _R12_NEW
+    + _R12_CHANGED
+    + _R12_STALEST[: 50 - len(_R12_NEW) - len(_R12_CHANGED)]
 )
 
 def _in_partial_plans_import() -> bool:
@@ -7986,12 +7963,12 @@ def _reorder_registry() -> None:
         raise AssertionError(f"priority list names unknown queries: {missing}")
     if len(set(_DRIVER_WINDOW_FIRST)) != len(_DRIVER_WINDOW_FIRST):
         raise AssertionError("duplicate names in priority list")
-    if len(_R11_NEW) > 14:
+    if len(_R12_NEW) > 14:
         raise AssertionError(
             "registry growth cap exceeded (verdict: <= ~14 new per round so "
-            f"the stalest rotation keeps pace), got {len(_R11_NEW)} new"
+            f"the stalest rotation keeps pace), got {len(_R12_NEW)} new"
         )
-    overlap = set(_R11_CHANGED) & set(_R11_STALEST)
+    overlap = set(_R12_CHANGED) & set(_R12_STALEST)
     if overlap:
         raise AssertionError(
             f"lane/stalest overlap (list each query once): {sorted(overlap)}"
@@ -8081,6 +8058,7 @@ from . import llm_round10f  # noqa: E402,F401  (tokenizer_unigram_encode: fixed-
 from . import llm_round11a  # noqa: E402,F401  (ann_ivf_trained_index: Lloyd-trained quantizer -> persisted IVF -> probe)
 from . import llm_round11b  # noqa: E402,F401  (ann_ivf_pq_topk: faiss-IVFPQ hybrid — cell-pruned integer ADC scan)
 from . import llm_round11c  # noqa: E402,F401  (ann_filtered_topk: metadata-filtered vector search, pre- vs post-filter)
+from . import llm_round12  # noqa: E402,F401  (ann_ivf_pq_index: cell-keyed stored PQ codes; ann_ivf_filtered_probe: predicate-pruned probe)
 
 def ensure_registry_order() -> None:
     """Idempotent reorder + window-integrity assertions, for callers that
