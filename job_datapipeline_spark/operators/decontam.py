@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scale import fan_out
 from ..functions.text import tokenize, word_ngrams
 from ..functions.vectors import dot, l2_distance, norm
 
@@ -115,7 +116,10 @@ def ngram_overlap_flags(
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
-    cg = _gram_hashes(corpus, id_col, text_col, n, "doc_id")
+    # fan_out the corpus side: tokenize -> n-gram -> md5-per-gram is the
+    # dominant map cost and the corpus typically arrives as a one-split
+    # scan (r12 structural finding); the bench side is small by contract.
+    cg = _gram_hashes(fan_out(corpus, id_col), id_col, text_col, n, "doc_id")
     bg = _gram_hashes(bench, id_col, text_col, n, "bench_id")
     return (
         cg.join(bg, "gram_h")

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.scale import fan_out
 from ..operators.asof import asof_join
 from .queries import register
 
@@ -234,6 +235,14 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # The B-way fan-out evaluates one md5 per (order, replica) — |orders| x 50
+    # hash+conv expressions.  The orders scan is a single split (one row
+    # group locally; and even at scale the hash work is ~50x the scan work),
+    # so without an explicit exchange the whole fan-out runs in the scan's
+    # task count.  Spreading the narrow (key, cents) rows across the
+    # session's default parallelism costs one tiny exchange and parallelizes
+    # the hashing; the per-replica partial aggregation below is unchanged.
+    weighted_src = fan_out(data, "o_orderkey")
     reps = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
     u = F.conv(
         F.substring(
@@ -255,7 +264,7 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, len(_POIS_T)):
         w = w.when(u < _POIS_T[k], k)
     w = w.otherwise(8)
-    weighted = data.crossJoin(F.broadcast(reps)).select(
+    weighted = weighted_src.crossJoin(F.broadcast(reps)).select(
         "b", "cents", w.alias("w")
     )
     means = weighted.groupBy("b").agg(

@@ -216,7 +216,14 @@ def dpp_fact_and_dim(
         "order_month",
         F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM"),
     )
-    o.write.mode("overwrite").partitionBy("order_month").parquet(fact_path)
+    # Cluster by the partition key before the partitioned write (guide §6):
+    # each month lands in exactly one task, so the write produces one file
+    # per month directory in parallel — without this the one-split orders
+    # scan writes ~100 month files SEQUENTIALLY from a single task (and a
+    # multi-task input would instead write tasks x months small files).
+    o.repartition("order_month").write.mode("overwrite").partitionBy(
+        "order_month"
+    ).parquet(fact_path)
     literal_dim(
         spark, _calendar_rows(), "cal_month string, quarter string"
     ).coalesce(1).write.mode("overwrite").parquet(dim_path)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import literal_dim, table
+from ..functions.scale import fan_out
 from ..functions.text import fingerprint, tokenize
 from ..functions.vectors import cosine
 from ..operators.topk import rank_pivot, top_k_per_group
@@ -1304,7 +1305,13 @@ def _planted_dedup_artifact(
         for k in [k for k in _DEDUP_ARTIFACTS if k[0] != app_id]:
             del _DEDUP_ARTIFACTS[k]
         if name == "corpus":
-            df = _planted_corpus(spark, sf_dir).localCheckpoint()
+            # fan_out: the planted corpus derives from a one-split documents
+            # scan (union arms add at most 2 more partitions), so every
+            # downstream map-side shingle/signature pass would run on <=3
+            # cores; checkpointing it pre-spread across default parallelism
+            # parallelizes the whole QA family's tokenize/n-gram/hash work
+            # (r12 structural finding).
+            df = fan_out(_planted_corpus(spark, sf_dir), "doc_id").localCheckpoint()
         elif name == "shingle_arrays":
             df = _D.shingle_string_arrays(
                 _planted_dedup_artifact(spark, sf_dir, "corpus")
@@ -1330,7 +1337,7 @@ def _planted_dedup_artifact(
         elif name == "capped_corpus":
             # _capped_planted/_CC_CAP are defined later in this module;
             # resolved at call time (the memo never runs during import)
-            df = _capped_planted(spark, sf_dir, _CC_CAP).localCheckpoint()
+            df = fan_out(_capped_planted(spark, sf_dir, _CC_CAP), "doc_id").localCheckpoint()
         elif name == "capped_clusters":
             df = _D.near_dedup_clusters(
                 _planted_dedup_artifact(spark, sf_dir, "capped_corpus"),
@@ -2366,7 +2373,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq xq zq")).alias("text"),
     )
-    corpus = base.unionByName(exact).unionByName(near)
+    # fan_out: the 3-arm union of a one-split scan gives <=3 partitions;
+    # the per-shingle md5 bit-vote below is the dominant cost (r12)
+    corpus = fan_out(base.unionByName(exact).unionByName(near), "doc_id")
     return _D.simhash_pairs(
         corpus,
         bits=_SHP_BITS,
@@ -2558,7 +2567,8 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "usable as a pushed-down corpus filter.",
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # fan_out: one-split scan, tokenize+ngram+ratio is the whole cost (r12)
+    docs = fan_out(table(spark, sf_dir, "documents"), "doc_id")
     # pre-project the gram array so tokenize+shingle runs once per row
     # (multi-referenced alias survives CollapseProject): 8s -> 2.7s at sf0.1
     grams = docs.select(
@@ -3041,7 +3051,11 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to doc_id < 2000.",
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # fan_out: one-split scan, and winnowing's per-char k-gram/window mins
+    # are the whole cost — spread before the map stage (r12)
+    docs = fan_out(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000), "doc_id"
+    )
     return _D.winnow_fingerprints(docs, k=5, w=4)
 
 
@@ -4957,7 +4971,12 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle overhead at this corpus size).",
 )
 def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    # fan_out: one-split scan; the tokenize+bigram+md5 explode below it is
+    # the dominant map cost and would otherwise run single-task (r12)
+    docs = fan_out(
+        table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""),
+        "doc_id",
+    )
     from ..functions.text import word_ngrams as _wng
 
     grams = docs.select(
@@ -5868,13 +5887,21 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+    # distinct over the (int, int) pair FIRST, prefix-concat the node
+    # strings AFTER: the exchange carries two longs instead of two strings
+    # (narrower shuffle bytes, cheaper hash/compare — guide §2.3), and the
+    # prefixes are injective so the distinct sets are identical.  fan_out:
+    # the lineitem scan is one split, so the join+partial-distinct would
+    # otherwise run single-task (r12 structural finding).
+    pairs = (
+        fan_out(li, "l_orderkey")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
         .distinct()
+    )
+    e0 = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
