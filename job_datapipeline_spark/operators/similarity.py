@@ -266,13 +266,19 @@ def ivf_index_write_frame(
         corpus_id,
         1,
     )
+    # Cluster by the partition key(s) before the partitioned write (guide
+    # §6): each leaf directory is written by exactly one task — one file
+    # per partition value instead of (tasks x values) small files, so the
+    # probe side lists/opens the minimum file count.
     assigned.select(
         "cell",
         corpus_id,
         *meta_cols,
         F.col("_v").alias(vec_col),
         norm(F.col("_v")).alias("vnorm"),
-    ).write.mode("overwrite").partitionBy(*partition_cols).parquet(path + "/cells")
+    ).repartition(*partition_cols).write.mode("overwrite").partitionBy(
+        *partition_cols
+    ).parquet(path + "/cells")
 
 
 def ivf_index_append(
@@ -302,7 +308,9 @@ def ivf_index_append(
         corpus_id,
         F.col("_v").alias(vec_col),
         norm(F.col("_v")).alias("vnorm"),
-    ).write.mode("append").partitionBy("cell").parquet(path + "/cells")
+    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        path + "/cells"
+    )
 
 
 def ivf_index_probe(
@@ -506,7 +514,9 @@ def ivf_pq_index_write_frame(
     )
     pq_encode(cells, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
         "cell", corpus_id, "codes"
-    ).write.mode("overwrite").partitionBy("cell").parquet(path + "/codes")
+    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/codes"
+    )
 
 
 def ivf_pq_index_append(
@@ -523,8 +533,13 @@ def ivf_pq_index_append(
     codebook); its cell partitions are appended to both ``cells`` and
     ``codes``.  The historical corpus is never re-read, re-assigned,
     re-normed, or re-encoded — arrival cost is
-    O(|batch| x (k_centroids + m x 16)), independent of index size."""
-    ivf_index_append(spark, path, batch, corpus_id, vec_col)
+    O(|batch| x (k_centroids + m x 16)), independent of index size.
+
+    The batch is assigned ONCE and the materialized assignment feeds both
+    appends (r12: the original composed :func:`ivf_index_append` + a second
+    assign for the codes, recomputing the quantizer join per table — the
+    checkpoint halves the per-arrival assignment cost and guarantees cells
+    and codes are projections of the SAME assignment by construction)."""
     cbp = spark.read.parquet(path + "/codebook")
     cents = spark.read.parquet(path + "/centroids").select(
         "cid", F.col("cent").alias("_cent")
@@ -534,10 +549,20 @@ def ivf_pq_index_append(
         cents,
         corpus_id,
         1,
+    ).localCheckpoint()
+    assigned.select(
+        "cell",
+        corpus_id,
+        F.col("_v").alias(vec_col),
+        norm(F.col("_v")).alias("vnorm"),
+    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        path + "/cells"
     )
     pq_encode(assigned, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
         "cell", corpus_id, "codes"
-    ).write.mode("append").partitionBy("cell").parquet(path + "/codes")
+    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        path + "/codes"
+    )
 
 
 def ivf_pq_index_probe(

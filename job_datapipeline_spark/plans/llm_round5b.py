@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.scale import fan_out
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -556,7 +557,10 @@ def text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "The unpivot is a 1-row stack — free.",
 )
 def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    # fan_out: 4 count-distinct aggregates expand every scan row 4-ways
+    # before the partial agg; on the one-split orders scan that whole
+    # expansion hashed on a single core (r12 structural finding)
+    orders = fan_out(table(spark, sf_dir, "orders"), "o_orderkey")
     price_cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     stats = orders.agg(
         F.count("*").alias("n_rows"),

@@ -6752,7 +6752,9 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rare bad rows, not for type probing of whole columns.",
 )
 def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # fan_out: a pure map over the one-split lineitem scan — the try_*
+    # expression evaluation is the entire cost and ran on one core (r12)
+    li = fan_out(table(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -7240,7 +7242,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 40000).alias("doc_id"),
         F.array_join(F.slice(toks, 1, _CONTAIN_EXCERPT_TOKENS), " ").alias("text"),
     )
-    corpus = base.select("doc_id", "text").unionByName(excerpts)
+    # fan_out: the shingle-array build (tokenize + 3-gram + frequency
+    # order) is the dominant map cost over a <=2-partition union (r12)
+    corpus = fan_out(base.select("doc_id", "text").unionByName(excerpts), "doc_id")
     te = _CONTAIN_THRESHOLD - _PREFILTER_EPS
     arrays = (
         _shingle_arrays(corpus, "text", "doc_id", 3)
@@ -7883,15 +7887,21 @@ _R9_STALEST = (
 )
 
 # ---------------------------------------------------------------------------
-# Round-12 window: 2 new + 2 changed-code + 46 stalest (the 45 remaining
-# r4 certifications, then the alphabetically-first r5 one), per
-# `python tools/cert_ledger.py`.  The changed-code lane: the r12 diff
-# extends operators/similarity.py ivf_index_write_frame with
-# meta_cols/partition_cols (consumed by ann_ivf_trained_index directly
-# and ann_ivf_index_roundtrip via ivf_index_write); ivf_assign gained
-# only docstring text (no executable change), so its wider consumer set
-# stays out of the lane.  streaming_ann_index_ingest uses only
-# ivf_index_append/probe, both untouched.
+# Round-12 window (optimization round): 2 new + 25 changed-code + 23
+# stalest (the leading r4 certifications by ledger order), per
+# `python tools/cert_ledger.py`.  The changed-code lane covers every
+# query whose EXECUTABLE plan changed in the r12 optimization pass
+# (OPTIMIZATION_r12.md): direct fan_out/narrowing edits
+# (agg_poisson_bootstrap_ci, graph_pagerank_bipartite, text_repetition,
+# dedup_common_spans, text_winnow_fingerprints, dedup_simhash_pairs,
+# layout_dpp_prune, quality_profile_columns, scalar_try_arithmetic,
+# dedup_containment_pairs), the decontam.ngram_overlap_flags corpus
+# fan_out (corpus_decontaminate, corpus_decontaminate_coverage,
+# corpus_funnel_report), the session-memo corpus/capped_corpus fan_out
+# (the nine memo consumers), and the similarity.py index-write changes —
+# write-side repartition-by-cell + the single-assign pq append —
+# (ann_ivf_trained_index, ann_ivf_index_roundtrip,
+# streaming_ann_index_ingest; the two NEW queries cover the rest).
 # ---------------------------------------------------------------------------
 
 _R12_NEW = (
@@ -7900,13 +7910,41 @@ _R12_NEW = (
 )
 
 _R12_CHANGED = (
-    # similarity.py ivf_index_write_frame meta/partition-cols extension
+    # similarity.py index-write path (repartition-by-cell, single-assign
+    # pq append)
     "ann_ivf_trained_index",
     "ann_ivf_index_roundtrip",
+    "streaming_ann_index_ingest",
+    # direct r12 optimization edits
+    "agg_poisson_bootstrap_ci",
+    "graph_pagerank_bipartite",
+    "text_repetition",
+    "dedup_common_spans",
+    "text_winnow_fingerprints",
+    "dedup_simhash_pairs",
+    "layout_dpp_prune",
+    "quality_profile_columns",
+    "scalar_try_arithmetic",
+    "dedup_containment_pairs",
+    # via operators/decontam.ngram_overlap_flags
+    "corpus_decontaminate",
+    "corpus_decontaminate_coverage",
+    "corpus_funnel_report",
+    # via the _planted_dedup_artifact corpus/capped_corpus fan_out
+    "dedup_lsh_candidates",
+    "dedup_jaccard_pairs",
+    "dedup_near_composed",
+    "dedup_components",
+    "dedup_edit_distance_verify",
+    "dedup_cluster_representatives",
+    "dedup_minhash_estimate_accuracy",
+    "corpus_dedup_threshold_curve",
+    "dedup_lsh_tuning_curve",
 )
 
 _R12_STALEST = (
-    # the 45 remaining r4 certifications (ledger order: name asc)
+    # the leading r4 certifications (ledger order: name asc);
+    # graph_pagerank_bipartite moved to the changed lane above
     "agg_robust_mad",
     "agg_sketch_mergeable",
     "agg_stats_suite",
@@ -7917,7 +7955,6 @@ _R12_STALEST = (
     "events_sessionize_dynamic_gap",
     "events_sliding_windows",
     "events_windowed_topk",
-    "graph_pagerank_bipartite",
     "join_lateral_topn",
     "join_null_safe_eq",
     "multimodal_image_resize",
@@ -7931,29 +7968,6 @@ _R12_STALEST = (
     "quality_constraint_checks",
     "rollup_incremental_merge",
     "scrape_url_worklist",
-    "setops_intersect_except",
-    "sink_roundtrip_csv",
-    "sink_roundtrip_kv",
-    "streaming_foreachbatch_upsert",
-    "streaming_static_enrich",
-    "subquery_exists_high_value",
-    "subquery_scalar_above_avg",
-    "text_first_occurrence",
-    "text_gopher_rules",
-    "text_token_entropy",
-    "tpch_customer_distribution",
-    "tpch_disjunctive_filter",
-    "tpch_large_orders",
-    "tpch_order_priority_check",
-    "tpch_promo_share",
-    "tpch_shipping_priority",
-    "tpch_small_quantity_revenue",
-    "window_first_last_nth",
-    "window_ntile_quartiles",
-    "window_ratio_to_report",
-    "xml_feed_parse",
-    # then r5 certifications, name asc
-    "agg_bloom_membership",
 )
 
 _DRIVER_WINDOW_FIRST = (
