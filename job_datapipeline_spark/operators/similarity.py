@@ -231,6 +231,55 @@ def ivf_index_write(
     ivf_index_write_frame(corpus, path, cents, corpus_id, vec_col)
 
 
+def _cells_frame(
+    assigned: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    meta_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The persisted ``cells`` projection of an assignment frame: cell key,
+    id, metadata, the vector under its public name, and the write-time L2
+    norm.  ONE definition shared by the build and append paths (write_frame,
+    ivf_index_append, ivf_pq_index_*) so the cells schema and the vnorm
+    computation cannot drift between them."""
+    return assigned.select(
+        "cell",
+        corpus_id,
+        *meta_cols,
+        F.col("_v").alias(vec_col),
+        norm(F.col("_v")).alias("vnorm"),
+    )
+
+
+def _write_cells(
+    cells: DataFrame,
+    path: str,
+    mode: str,
+    partition_cols: tuple[str, ...] = ("cell",),
+    files_per_partition: int = 1,
+    split_col: str | None = None,
+) -> None:
+    """Cluster by the partition key(s), then ``partitionBy`` write (guide
+    §6): each leaf directory is written by exactly one task — one file per
+    partition value instead of (tasks x values) small files, so the probe
+    side lists/opens the minimum file count.
+
+    ``files_per_partition`` is the escape hatch for HOT cells: clustering
+    an entire cell through one task caps write parallelism at the distinct
+    cell count and puts a whole cell in one task's memory — fine here,
+    a straggler/OOM risk for a skewed 100 TB cell.  >1 adds a
+    deterministic ``pmod(xxhash64(split_col), n)`` sub-key to the
+    clustering (NOT to the directory layout), splitting each cell across
+    n writer tasks / n files (deterministic under retry — guide §2.5's
+    rand() warning)."""
+    if files_per_partition > 1 and split_col is not None:
+        sub = F.pmod(F.xxhash64(F.col(split_col)), F.lit(files_per_partition))
+        writer = cells.repartition(*[F.col(c) for c in partition_cols], sub)
+    else:
+        writer = cells.repartition(*partition_cols)
+    writer.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def ivf_index_write_frame(
     corpus: DataFrame,
     path: str,
@@ -266,19 +315,12 @@ def ivf_index_write_frame(
         corpus_id,
         1,
     )
-    # Cluster by the partition key(s) before the partitioned write (guide
-    # §6): each leaf directory is written by exactly one task — one file
-    # per partition value instead of (tasks x values) small files, so the
-    # probe side lists/opens the minimum file count.
-    assigned.select(
-        "cell",
-        corpus_id,
-        *meta_cols,
-        F.col("_v").alias(vec_col),
-        norm(F.col("_v")).alias("vnorm"),
-    ).repartition(*partition_cols).write.mode("overwrite").partitionBy(
-        *partition_cols
-    ).parquet(path + "/cells")
+    _write_cells(
+        _cells_frame(assigned, corpus_id, vec_col, meta_cols),
+        path + "/cells",
+        "overwrite",
+        partition_cols,
+    )
 
 
 def ivf_index_append(
@@ -303,14 +345,7 @@ def ivf_index_append(
         corpus_id,
         1,
     )
-    assigned.select(
-        "cell",
-        corpus_id,
-        F.col("_v").alias(vec_col),
-        norm(F.col("_v")).alias("vnorm"),
-    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        path + "/cells"
-    )
+    _write_cells(_cells_frame(assigned, corpus_id, vec_col), path + "/cells", "append")
 
 
 def ivf_index_probe(
@@ -483,6 +518,21 @@ def pq_encode(
     )
 
 
+def _run_concurrent(*thunks) -> None:
+    """Run independent write jobs from a small driver thread pool (guide
+    §2.6): actions are only sequential because driver code calls them
+    sequentially, so two writes with no data dependency overlap — the
+    second job's tasks back-fill executors freed by the first job's tail.
+    Raises the first failure after all complete (no silent partial
+    builds)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def ivf_pq_index_write_frame(
     corpus: DataFrame,
     path: str,
@@ -500,22 +550,48 @@ def ivf_pq_index_write_frame(
     codes array) — partitioned by THE SAME cell key, the layout the r11
     IVFPQ-vs-PQ ladder measured as the only viable 100 TB shape.
 
-    The codes are derived from the READ-BACK cells (not the input
-    lineage): the encode input already carries the persisted cell key,
-    so no corpus-wide join is needed and the codes are by construction a
-    projection of exactly the stored vectors — rebuildable from the
-    index itself if dropped."""
-    cb.write.mode("overwrite").parquet(path + "/codebook")
-    ivf_index_write_frame(corpus, path, cents, corpus_id, vec_col)
+    The corpus is assigned ONCE against the persisted quantizer and the
+    materialized assignment feeds BOTH the cells and the codes writes —
+    the shape :func:`ivf_pq_index_append` already has (r13; the original
+    wrote cells, then re-read them to encode: one extra full scan of the
+    index plus a serializing dependency between the two writes).  Cells
+    and codes remain projections of the SAME assignment by construction,
+    and parquet round-trips doubles bit-exactly, so the persisted bytes
+    are identical to the read-back formulation.  The two quantizer-table
+    writes, and then the cells/codes writes, are independent jobs and run
+    overlapped (guide §2.6).
+
+    Cluster caveat (applies to the append too): ``localCheckpoint`` is
+    eager and LINEAGE-FREE — on a real cluster an executor loss while the
+    writes run fails the job non-recoverably (re-run the build; writes
+    are idempotent overwrite).  Checkpoint to reliable storage instead if
+    the build is long enough for that to matter."""
     spark = corpus.sparkSession
-    cbp = spark.read.parquet(path + "/codebook")
-    cells = spark.read.parquet(path + "/cells").select(
-        "cell", corpus_id, F.col(vec_col).alias("_v")
+    _run_concurrent(
+        lambda: cb.write.mode("overwrite").parquet(path + "/codebook"),
+        lambda: cents.write.mode("overwrite").parquet(path + "/centroids"),
     )
-    pq_encode(cells, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
-        "cell", corpus_id, "codes"
-    ).repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        path + "/codes"
+    persisted = spark.read.parquet(path + "/centroids").select(
+        "cid", F.col("cent").alias("_cent")
+    )
+    assigned = ivf_assign(
+        corpus.select(corpus_id, F.col(vec_col).alias("_v")),
+        persisted,
+        corpus_id,
+        1,
+    ).localCheckpoint()
+    cbp = spark.read.parquet(path + "/codebook")
+    _run_concurrent(
+        lambda: _write_cells(
+            _cells_frame(assigned, corpus_id, vec_col), path + "/cells", "overwrite"
+        ),
+        lambda: _write_cells(
+            pq_encode(assigned, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
+                "cell", corpus_id, "codes"
+            ),
+            path + "/codes",
+            "overwrite",
+        ),
     )
 
 
@@ -539,7 +615,15 @@ def ivf_pq_index_append(
     appends (r12: the original composed :func:`ivf_index_append` + a second
     assign for the codes, recomputing the quantizer join per table — the
     checkpoint halves the per-arrival assignment cost and guarantees cells
-    and codes are projections of the SAME assignment by construction)."""
+    and codes are projections of the SAME assignment by construction).
+    The two appends are independent jobs and run overlapped (guide §2.6).
+
+    Cluster caveat: ``localCheckpoint`` is eager and lineage-free (an
+    executor loss mid-append fails the job; re-ingest the batch), and the
+    cells/codes appends are two non-atomic writes — a failure between
+    them leaves cells appended without codes; the repair path is to
+    re-derive the missing cell's codes from the cells table (the codes
+    are a pure projection of it)."""
     cbp = spark.read.parquet(path + "/codebook")
     cents = spark.read.parquet(path + "/centroids").select(
         "cid", F.col("cent").alias("_cent")
@@ -550,18 +634,17 @@ def ivf_pq_index_append(
         corpus_id,
         1,
     ).localCheckpoint()
-    assigned.select(
-        "cell",
-        corpus_id,
-        F.col("_v").alias(vec_col),
-        norm(F.col("_v")).alias("vnorm"),
-    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        path + "/cells"
-    )
-    pq_encode(assigned, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
-        "cell", corpus_id, "codes"
-    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        path + "/codes"
+    _run_concurrent(
+        lambda: _write_cells(
+            _cells_frame(assigned, corpus_id, vec_col), path + "/cells", "append"
+        ),
+        lambda: _write_cells(
+            pq_encode(assigned, cbp, corpus_id, m, sub, carry_cols=("cell",)).select(
+                "cell", corpus_id, "codes"
+            ),
+            path + "/codes",
+            "append",
+        ),
     )
 
 
