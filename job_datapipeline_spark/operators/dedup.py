@@ -214,10 +214,17 @@ def lsh_join_state(
     ``band`` the scan prunes to the probed band partitions. Neither side
     is re-shingled here — both inputs are already banded, so a daily
     batch against a 100 TB corpus reads only the index, never the text.
+
+    The BATCH side is broadcast (guide §3.1): state grows without bound
+    while a batch is one arrival's bands, so the hint keeps the planner
+    from ever shuffling the state side (a localCheckpointed batch frame
+    reports no size statistics, so the automatic threshold cannot be
+    relied on) — the state scan streams map-side against the O(batch)
+    hash relation.
     """
     a = state_bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = batch_bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    return a.join(b, ["band", "band_sig"]).select("id_a", "id_b").distinct()
+    return a.join(F.broadcast(b), ["band", "band_sig"]).select("id_a", "id_b").distinct()
 
 
 def lsh_candidate_pairs(

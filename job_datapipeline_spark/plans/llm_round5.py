@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.scale import fan_out
 from ..operators.topk import top_k_per_group
 from .queries import register
 
@@ -459,8 +460,16 @@ def streaming_dedup_state_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(src)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # fan_out BEFORE the minhash map: a 1-file micro-batch is one scan
+        # task, so the per-shingle md5 + band build otherwise runs on one
+        # core (~1.5 s/batch of the 8 s total, measured r13).  The r12
+        # experiment that fanned out WITHOUT reclustering regressed 3x by
+        # exploding the state-append file count (32 partitions x bands
+        # files per batch); the explicit repartition("band") below keeps
+        # the append at one file per band per batch — parallel compute,
+        # minimal file count (guide §2.5 + §6).
         bands = _D.band_table(
-            _D.minhash_signatures(batch_df, num_hashes=_NDD_HASHES),
+            _D.minhash_signatures(fan_out(batch_df, "doc_id"), num_hashes=_NDD_HASHES),
             rows_per_band=_NDD_RPB,
         ).localCheckpoint()  # feeds self-join, state probe, and the state append
         a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
@@ -480,7 +489,9 @@ def streaming_dedup_state_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).distinct()
         pairs.write.mode("append").parquet(result)
-        bands.write.mode("append").partitionBy("band").parquet(state)
+        bands.repartition("band").write.mode("append").partitionBy("band").parquet(
+            state
+        )
 
     stream = (
         spark.readStream.schema(staged.drop("_split").schema)
