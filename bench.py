@@ -139,10 +139,41 @@ def main() -> None:
 
     # warmup: spin up executors / codegen paths, untimed
     REGISTRY["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # streaming warmup, also untimed (r13): the first streaming query in a
+    # session otherwise pays the one-time micro-batch-engine / commit-log /
+    # state-machinery class initialization (~2 s measured) inside its timed
+    # runs — a session-startup cost, not query work, i.e. exactly what the
+    # documented untimed-warmup policy excludes. A 1-row AvailableNow
+    # file-source stream with a no-op foreachBatch initializes that
+    # machinery without touching any registry query.
+    import tempfile as _tempfile
+
+    _wdir = _tempfile.mkdtemp(prefix="bench_stream_warm_")
+    spark.range(1).write.parquet(os.path.join(_wdir, "src"))
+    (
+        spark.readStream.schema("id long")
+        .parquet(os.path.join(_wdir, "src"))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(_wdir, "ckpt"))
+        .foreachBatch(
+            lambda df, _bid: df.write.format("noop").mode("overwrite").save()
+        )
+        .start()
+        .awaitTermination()
+    )
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     per_query: dict[str, float] = {}
-    for name, q in REGISTRY.items():
+    # Iterate in FIXED name-sorted order (r13): REGISTRY order is rotated
+    # every round by the certification-window ledger, so which family
+    # member pays a session-scoped one-time cost (dedup memo build,
+    # streaming fixture write, state-store init) used to move
+    # round-over-round, producing spurious per-query movers in the
+    # driver's common-set comparison. Name order pins that attribution
+    # permanently; the registry keeps its certified order for the driver
+    # window gates. One-time attribution jump in THIS round's record,
+    # stable thereafter.
+    for name, q in sorted(REGISTRY.items()):
         samples = []
         for _ in range(runs):
             t0 = time.time()

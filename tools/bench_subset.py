@@ -4,11 +4,13 @@ optionally dump .explain("formatted") per query.
 Usage: python tools/bench_subset.py [--sf DIR] [--runs N] [--explain DIR] q1 q2 ...
 
 The measurement methodology matches bench.py (noop sink, min-of-N,
-untimed warmup) so numbers are comparable to BENCH_FULL.json entries.
+untimed batch + streaming warmups) so numbers are comparable to
+BENCH_FULL.json entries.
 """
 
 from __future__ import annotations
 
+import argparse
 import io
 import json
 import os
@@ -25,21 +27,17 @@ ensure_registry_order()
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.1"
-    runs = 3
-    explain_dir = None
-    names = []
-    i = 0
-    while i < len(args):
-        if args[i] == "--sf":
-            sf_dir = args[i + 1]; i += 2
-        elif args[i] == "--runs":
-            runs = int(args[i + 1]); i += 2
-        elif args[i] == "--explain":
-            explain_dir = args[i + 1]; i += 2
-        else:
-            names.append(args[i]); i += 1
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1", dest="sf_dir")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--explain", default=None, dest="explain_dir")
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
+    unknown = [n for n in args.names if n not in REGISTRY]
+    if unknown:
+        ap.error(f"unknown queries (not in REGISTRY): {', '.join(unknown)}")
 
     t0 = time.time()
     x = 0
@@ -48,29 +46,41 @@ def main() -> None:
     print(f"spin_probe {round(time.time() - t0, 3)}s (fast phase ~0.85)", flush=True)
 
     spark = get_spark("bench-subset")
-    # warmup, untimed
-    REGISTRY["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+    # warmups, untimed — batch (codegen/session) + streaming machinery,
+    # mirroring bench.py
+    REGISTRY["pricing_summary"].fn(spark, args.sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    import tempfile
+
+    wdir = tempfile.mkdtemp(prefix="subset_stream_warm_")
+    spark.range(1).write.parquet(os.path.join(wdir, "src"))
+    (
+        spark.readStream.schema("id long")
+        .parquet(os.path.join(wdir, "src"))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(wdir, "ckpt"))
+        .foreachBatch(lambda df, _bid: df.write.format("noop").mode("overwrite").save())
+        .start()
+        .awaitTermination()
+    )
 
     out: dict[str, float] = {}
-    for name in names:
+    for name in args.names:
         q = REGISTRY[name]
-        if explain_dir:
-            os.makedirs(explain_dir, exist_ok=True)
+        if args.explain_dir:
+            os.makedirs(args.explain_dir, exist_ok=True)
             buf = io.StringIO()
             with redirect_stdout(buf):
-                q.fn(spark, sf_dir).explain("formatted")
-            with open(os.path.join(explain_dir, f"{name}.txt"), "w") as fh:
+                q.fn(spark, args.sf_dir).explain("formatted")
+            with open(os.path.join(args.explain_dir, f"{name}.txt"), "w") as fh:
                 fh.write(buf.getvalue())
         samples = []
-        for _ in range(runs):
+        for _ in range(args.runs):
             spark.sparkContext.setJobDescription(f"bench-subset:{name}")
             t0 = time.time()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            q.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
-        if not samples:
-            continue
         out[name] = min(samples)
         print(f"{min(samples):8.3f}  {name}  (runs: {samples})", flush=True)
     print(json.dumps(out))
